@@ -1,0 +1,204 @@
+"""Text-analysis primitives for training-data pipelines.
+
+All pure Column expressions (whole-stage codegen, zero Python on the hot
+path): whitespace/BPE-ish tokenization, k-token shingles, a stopword/marker
+language-ID heuristic, a length/punct/stopword quality score, and a
+polynomial rolling-hash document fingerprint.
+
+Each Spark builder has a DuckDB SQL twin (suffix ``_sql``) generated from the
+same spec so the driver's oracle compare is exact. Parity is pinned in
+tests/test_text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Rolling-hash parameters (31-ary polynomial mod a 30-bit prime: products stay
+# far below int64 overflow in both engines).
+FP_BASE = 31
+FP_MOD = 1_000_000_007
+
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# marker-token vote sets for the language-ID heuristic (deterministic
+# tie-break: priority order en > de > es > fr, strict-greater comparisons)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+LANG_PRIORITY = ("en", "de", "es", "fr")
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '\\s+'), x -> x <> '')"
+    )
+
+
+def token_count_ws(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_ws_sql(expr: str) -> str:
+    return f"len({tokens_sql(expr)})"
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count: runs of letters, runs of digits, single symbols."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_TOKEN_RE), 0))
+
+
+def token_count_bpe_sql(expr: str) -> str:
+    return f"len(regexp_extract_all(lower({expr}), '{BPE_TOKEN_RE}'))"
+
+
+def _in_set(x: Column, values: tuple[str, ...]) -> Column:
+    return F.array_contains(F.array(*[F.lit(v) for v in values]), x)
+
+
+def stopword_count(text: Column | str) -> Column:
+    return F.size(F.filter(tokens(text), lambda x: _in_set(x, STOPWORDS)))
+
+
+def _set_count_sql(tokens_expr: str, values: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{v}'" for v in values)
+    return f"len(list_filter({tokens_expr}, x -> x IN ({lst})))"
+
+
+def stopword_count_sql(expr: str) -> str:
+    return _set_count_sql(tokens_sql(expr), STOPWORDS)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(text) if isinstance(text, str) else text
+    kept = F.length(F.regexp_replace(c, "[^A-Za-z0-9 ]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        (F.length(c) - kept) / F.length(c).cast("double")
+    )
+
+
+def punct_ratio_sql(expr: str) -> str:
+    kept = f"length(regexp_replace({expr}, '[^A-Za-z0-9 ]', '', 'g'))"
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN 0.0 "
+        f"ELSE (length({expr}) - {kept}) / CAST(length({expr}) AS DOUBLE) END"
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic [0,1] quality: length, cleanliness, stopword signal.
+
+    score = 0.4*min(1, n_tok/50) + 0.3*(1-punct_ratio) + 0.3*min(1, 5*stop_ratio)
+    rounded to 6 decimals (stable across engines).
+    """
+    n_tok = token_count_ws(text).cast("double")
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        stopword_count(text) / n_tok
+    )
+    score = (
+        0.4 * F.least(F.lit(1.0), n_tok / F.lit(50.0))
+        + 0.3 * (F.lit(1.0) - punct_ratio(text))
+        + 0.3 * F.least(F.lit(1.0), stop_ratio * 5.0)
+    )
+    return F.round(score, 6)
+
+
+def quality_score_sql(expr: str) -> str:
+    n_tok = f"CAST({token_count_ws_sql(expr)} AS DOUBLE)"
+    stop_ratio = (
+        f"CASE WHEN {n_tok} = 0 THEN 0.0 ELSE {stopword_count_sql(expr)} / {n_tok} END"
+    )
+    return (
+        f"round(0.4 * least(1.0, {n_tok} / 50.0)"
+        f" + 0.3 * (1.0 - ({punct_ratio_sql(expr)}))"
+        f" + 0.3 * least(1.0, ({stop_ratio}) * 5.0), 6)"
+    )
+
+
+def predicted_lang(text: Column | str) -> Column:
+    """Marker-token-vote language ID; 'unk' when no marker fires."""
+    def marker_counter(markers: tuple[str, ...]):
+        return lambda x: _in_set(x, markers)
+
+    counts = {
+        lang: F.size(F.filter(tokens(text), marker_counter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*[counts[lang] for lang in LANG_PRIORITY])
+    result = F.lit("unk")
+    # build the chain in reverse priority so earlier langs win strict ties
+    for lang in reversed(LANG_PRIORITY):
+        result = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def predicted_lang_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    counts = {
+        lang: _set_count_sql(toks, markers) for lang, markers in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(counts[lang] for lang in LANG_PRIORITY) + ")"
+    clauses = " ".join(
+        f"WHEN ({counts[lang]}) > 0 AND ({counts[lang]}) = {best} THEN '{lang}'"
+        for lang in LANG_PRIORITY
+    )
+    return f"CASE {clauses} ELSE 'unk' END"
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash over character codepoints (document
+    fingerprinting for near-dup triage): fp = fold((acc*31 + ascii(ch)) % p).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
+    )
+
+
+def fingerprint_sql(expr: str) -> str:
+    # DuckDB list_reduce has no explicit zero → prepend it.
+    codes = f"list_transform(string_split({expr}, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), "
+        f"(acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})"
+    )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """k-token shingles (space-joined). Shorter docs yield one whole-doc
+    shingle so every document participates in dedup."""
+    toks = tokens(text)
+    windowed = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(F.size(toks) >= k, windowed).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def shingles_sql(expr: str, k: int = 3) -> str:
+    toks = tokens_sql(expr)
+    windowed = (
+        f"list_transform(generate_series(1, len({toks}) - {k - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))"
+    )
+    whole = f"[array_to_string({toks}, ' ')]"
+    return f"CASE WHEN len({toks}) >= {k} THEN {windowed} ELSE {whole} END"

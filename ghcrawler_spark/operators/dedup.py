@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines.
+
+Five flavors over a (id, text) document table, all expressed as DataFrame
+plans with zero Python UDFs (md5-derived hashes keep the DuckDB oracle
+exact):
+
+- exact:           hash-groupBy on the full text
+- n-gram Jaccard:  shingle self-join, exact set overlap ≥ τ
+- MinHash + LSH:   k minhashes → b bands → band-bucket join → verify Jaccard
+- SimHash:         per-bit majority over token hashes → banded Hamming ≤ d
+- embedding cosine near-dup: see operators/similarity.py
+
+Scale notes: the naive all-pairs Jaccard join explodes on common shingles;
+MinHash-LSH replaces it with a band-key equi-join whose output is only the
+candidate set (collision probability (1-(1-j^r)^b)). SimHash's byte-band
+pigeonhole does the same for Hamming distance. Both candidate joins shuffle
+on short fixed-width keys and verify only survivors — the same
+filter-then-confirm shape as the Bloom seen-set probe (SURVEY.md J1).
+
+Dedup analog in the reference: the request tracker + attenuation collapse
+duplicate URLs (providers/queuing/redisRequestTracker.js:17-53,
+attenuatedQueue.js:24-52); here the same idea applied to document CONTENT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ghcrawler_spark.functions.text import shingles, tokens
+from ghcrawler_spark.hashing import stable_long_hash, stable_long_hash_seeded
+
+MINHASH_FUNCS = 12
+MINHASH_BANDS = 4  # 4 bands x 3 rows
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # byte bands
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct text hash → (text_hash, keep_id,
+    dup_count). keep_id = smallest id (deterministic winner)."""
+    return (
+        df.select(stable_long_hash(text_col).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) distinct pairs."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """All pairs with token-k-gram Jaccard ≥ threshold.
+
+    |A∩B| from the shingle self-join; |A∪B| = |A|+|B|-|A∩B|. Exact (the
+    oracle for the approximate flavors). Output: (id_a, id_b, jaccard).
+    """
+    sh = _doc_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = MINHASH_FUNCS
+) -> DataFrame:
+    """(doc, mh_0..mh_{n-1}) — min over seeded shingle hashes per function."""
+    sh = _doc_shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(stable_long_hash_seeded(F.col("shingle"), i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = MINHASH_FUNCS,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
+
+    Banding: num_hashes/bands rows per band; band key = md5 of the
+    concatenated row minhashes. Candidates = pairs sharing ≥1 band key.
+    Output: (id_a, id_b, jaccard) — only LSH candidates that verify.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *members)).alias("bkey"),
+            )
+        )
+    banded = sigs.select(
+        F.col("doc"), F.explode(F.array(*band_cols)).alias("bd")
+    ).select("doc", F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey"))
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold=0.0)
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc, simhash): per-bit majority vote over distinct-token hashes.
+
+    bit_i(doc) = 1 iff sum over tokens of (+1 if token_hash has bit i else -1) > 0.
+    Explodes (doc × bit) — linear in corpus size, shuffles once on doc.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+        .distinct()
+        .withColumn("th", stable_long_hash(F.col("tok")))
+    )
+    per_bit = (
+        tok.select(
+            "doc",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            "th",
+        )
+        .withColumn(
+            "vote",
+            F.when(F.expr("(th >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return per_bit.groupBy("doc").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split the signature into ``bands`` byte-slices; any
+    pair within distance < bands must agree exactly on ≥1 slice, so the
+    candidate join is an equi-join on (band, byte) — no O(n²) cross join.
+    Output: (id_a, id_b, hamming).
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(df, id_col, text_col, bits)
+    banded = sh.select(
+        "doc",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "slice",
+        F.expr(f"(simhash >> (band * {width})) & {mask}"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

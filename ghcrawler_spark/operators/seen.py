@@ -1,0 +1,189 @@
+"""Sharded Bloom-filter URL-seen set.
+
+Replaces ghcrawler's two dedup structures — the Redis request tracker
+(providers/queuing/redisRequestTracker.js:17-53, TTL-tagged "is it already
+queued?") and the storage etag probe (providers/fetcher/githubFetcher.js:28,
+176-191, "have we stored this URL?") — with the classic Bloom-pushdown shape:
+
+  1. keys are sharded by ``pmod(url_hash, num_shards)``;
+  2. each shard's filter is built executor-side (``applyInPandas`` over the
+     shard group — one numpy pass, no driver collect of keys);
+  3. candidate URLs probe the broadcast filter bytes in a vectorized Arrow
+     UDF; only probe-positives proceed to the exact anti-join confirm.
+
+Properties (tests/test_seen.py): NO false negatives (a seen URL always probes
+positive → never re-crawled twice after confirm), bounded false positives
+(~fpr → tiny extra anti-join input). At 10^10 URLs: 1% FPR needs ~9.6
+bits/key ≈ 12 GB total — sharded into ~1024 shards of ~12 MB, each executor
+probes only the shards its partition routes to; the exact confirm join stays
+tiny because it only sees probe-positives.
+
+The filter math is the standard double-hashing Bloom construction
+(pos_i = h1 + i*h2 mod m) over splitmix64-mixed key halves.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+SHARD_SCHEMA = StructType(
+    [
+        StructField("shard_id", IntegerType(), False),
+        StructField("filter_bytes", BinaryType(), False),
+        StructField("n_keys", LongType(), False),
+        StructField("m_bits", LongType(), False),
+        StructField("k_funcs", IntegerType(), False),
+    ]
+)
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = (x + _GOLDEN).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _positions(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(len(keys), k) bit positions via double hashing."""
+    u = keys.astype(np.int64).view(np.uint64)
+    h1 = _splitmix64(u)
+    h2 = _splitmix64(u ^ _GOLDEN) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+def _build_filter(keys: np.ndarray, m: int, k: int) -> bytes:
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    pos = _positions(keys, m, k)
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits.tobytes()
+
+
+def _probe_filter(keys: np.ndarray, blob: bytes, m: int, k: int) -> np.ndarray:
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    bits = np.frombuffer(blob, dtype=np.uint8)
+    pos = _positions(keys, m, k)
+    hit = bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))
+    return (hit != 0).all(axis=1)
+
+
+def optimal_params(n_keys: int, fpr: float) -> tuple[int, int]:
+    """(m_bits, k_funcs) for n keys at target FPR."""
+    n = max(n_keys, 1)
+    m = max(64, int(math.ceil(-n * math.log(fpr) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, min(k, 16)
+
+
+@dataclass
+class BloomShardSet:
+    """Broadcastable handle: shard_id → (filter_bytes, m, k)."""
+
+    num_shards: int
+    shards: dict[int, tuple[bytes, int, int]]
+
+    @staticmethod
+    def build(
+        keys_df: DataFrame,
+        key_col: str = "url_hash",
+        num_shards: int = 16,
+        fpr: float = 0.01,
+        expected_per_shard: int | None = None,
+    ) -> "BloomShardSet":
+        """Build shard filters executor-side; only the filter BYTES come back
+        to the driver (num_shards small blobs), never the keys."""
+        if expected_per_shard is None:
+            total = keys_df.count()
+            expected_per_shard = max(64, total // max(num_shards, 1) + 1)
+        m, k = optimal_params(expected_per_shard, fpr)
+
+        def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            keys = pdf["_key"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "shard_id": [int(pdf["_shard"].iloc[0])],
+                    "filter_bytes": [_build_filter(keys, m, k)],
+                    "n_keys": [len(keys)],
+                    "m_bits": [m],
+                    "k_funcs": [k],
+                }
+            )
+
+        shards_df = (
+            keys_df.select(
+                F.col(key_col).cast("long").alias("_key"),
+                F.pmod(F.col(key_col).cast("long"), F.lit(num_shards)).alias("_shard"),
+            )
+            .groupBy("_shard")
+            .applyInPandas(build_shard, SHARD_SCHEMA)
+        )
+        shards = {
+            row["shard_id"]: (bytes(row["filter_bytes"]), row["m_bits"], row["k_funcs"])
+            for row in shards_df.collect()
+        }
+        return BloomShardSet(num_shards=num_shards, shards=shards)
+
+    def probe(
+        self, df: DataFrame, key_col: str = "url_hash", out_col: str = "maybe_seen"
+    ) -> DataFrame:
+        """Vectorized membership probe; out_col=False ⇒ definitely unseen."""
+        spark = SparkSession.getActiveSession()
+        bc = spark.sparkContext.broadcast(self.shards)
+        num_shards = self.num_shards
+
+        @F.pandas_udf(BooleanType())
+        def probe_udf(keys: pd.Series) -> pd.Series:
+            kv = keys.to_numpy(dtype=np.int64)
+            shard_ids = np.mod(kv, num_shards)
+            out = np.zeros(len(kv), dtype=bool)
+            table = bc.value
+            for sid in np.unique(shard_ids):
+                entry = table.get(int(sid))
+                if entry is None:
+                    continue
+                blob, m, k = entry
+                mask = shard_ids == sid
+                out[mask] = _probe_filter(kv[mask], blob, m, k)
+            return pd.Series(out)
+
+        return df.withColumn(out_col, probe_udf(F.col(key_col).cast("long")))
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    seen_keys: DataFrame,
+    bloom: BloomShardSet | None,
+    key_col: str = "url_hash",
+) -> DataFrame:
+    """Bloom-pushdown unseen filter: definite-unseen rows pass for free; only
+    probe-positives (true dups + ~fpr false positives) hit the exact
+    anti-join. With bloom=None degrades to the plain anti-join."""
+    if bloom is None or not bloom.shards:
+        return candidates.join(
+            seen_keys.select(key_col).distinct(), on=key_col, how="left_anti"
+        )
+    probed = bloom.probe(candidates, key_col=key_col)
+    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = suspects.join(
+        seen_keys.select(key_col).distinct(), on=key_col, how="left_anti"
+    )
+    return definitely_new.unionByName(confirmed_new)

@@ -1,0 +1,771 @@
+"""The driver-gate query suite: every operator family from SURVEY.md §2
+expressed twice — as a Spark DataFrame plan (the engine) and as ANSI SQL for
+the DuckDB oracle. Names are keyed to the SURVEY operator IDs.
+
+The `events` table stands in for the crawl frontier (one event = one queued
+request): tier from event_type, politeness host from user_id, FIFO seq from
+event_id, retry attempt from event_id mod 7. The mapping is one fixed spec
+(``_frontier``/``FRONTIER_SQL``) shared by all frontier queries so Spark and
+the oracle see the identical virtual frontier.
+
+Float discipline (oracle hash-parity): money sums are computed in integer
+cents; similarity scores are rounded (cosine 4dp, jaccard/quality 6dp);
+rank columns are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ghcrawler_spark.functions import text as T
+from ghcrawler_spark.functions import urls as U
+from ghcrawler_spark.functions import vectors as V
+from ghcrawler_spark.hashing import stable_long_hash, stable_long_hash_sql
+from ghcrawler_spark.operators import dedup as D
+from ghcrawler_spark.operators import frontier_ops as FO
+from ghcrawler_spark.operators import similarity as S
+
+# ---------------------------------------------------------------------------
+# shared specs
+# ---------------------------------------------------------------------------
+
+TIER_WEIGHTS = {"soon": 2, "normal": 3, "later": 2}
+TIER_QUOTAS = {"soon": 40, "normal": 60, "later": 40}
+HOST_TOPK = 3
+GATE_NOW = "2024-01-02 12:00:00"
+FRESH_CUT = "1999-01-01 00:00:00"
+STALE_CUT = "1997-01-01 00:00:00"
+HOST_ALLOWLIST = tuple(f"h{i}" for i in range(10))
+DENY_RE = "(slow|error)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → virtual frontier rows (the fixed spec; see module doc)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.col("ts"),
+        F.when(F.col("event_type") == "error", "soon")
+        .when(F.col("event_type").isin("purchase", "signup"), "normal")
+        .otherwise("later")
+        .alias("tier"),
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias("host"),
+        (F.col("event_id") % 7).alias("attempt"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+
+FRONTIER_SQL = """
+SELECT event_id, ts,
+       CASE WHEN event_type = 'error' THEN 'soon'
+            WHEN event_type IN ('purchase', 'signup') THEN 'normal'
+            ELSE 'later' END AS tier,
+       'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+       event_id % 7 AS attempt,
+       event_type, value
+FROM events
+"""
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# S1/W1/W2 — weighted tier rotation & quota pop (queueSet.js:46-65)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s1_tier_quota_pop",
+    f"""
+    WITH frontier AS ({FRONTIER_SQL}),
+    ranked AS (
+      SELECT tier, event_id,
+             CAST(row_number() OVER (PARTITION BY tier ORDER BY event_id) AS BIGINT)
+               AS rank_in_tier
+      FROM frontier
+    )
+    SELECT tier, event_id, rank_in_tier FROM ranked
+    WHERE rank_in_tier <= CASE tier WHEN 'soon' THEN {TIER_QUOTAS['soon']}
+                                    WHEN 'normal' THEN {TIER_QUOTAS['normal']}
+                                    ELSE {TIER_QUOTAS['later']} END
+    """,
+)
+def s1_tier_quota_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = _frontier(spark, sf_dir)
+    out = FO.tier_quota_select(fr, "tier", ["event_id"], TIER_QUOTAS)
+    return out.select(
+        "tier", "event_id", F.col("rank_in_tier").cast("long").alias("rank_in_tier")
+    )
+
+
+@register(
+    "w1_weighted_rotation",
+    f"""
+    WITH frontier AS ({FRONTIER_SQL}),
+    ranked AS (
+      SELECT tier, event_id,
+             CAST(row_number() OVER (PARTITION BY tier ORDER BY event_id) AS BIGINT)
+               AS rank_in_tier
+      FROM frontier
+    ),
+    vt AS (
+      SELECT tier, event_id, rank_in_tier,
+             rank_in_tier * CAST(CASE tier
+               WHEN 'soon' THEN {FO.WEIGHT_SCALE // TIER_WEIGHTS['soon']}
+               WHEN 'normal' THEN {FO.WEIGHT_SCALE // TIER_WEIGHTS['normal']}
+               ELSE {FO.WEIGHT_SCALE // TIER_WEIGHTS['later']} END AS BIGINT)
+               AS virtual_time
+      FROM ranked
+    )
+    SELECT CAST(row_number() OVER (ORDER BY virtual_time, tier, rank_in_tier) AS BIGINT)
+             AS pop_seq,
+           tier, event_id, virtual_time
+    FROM vt
+    """,
+)
+def w1_weighted_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = _frontier(spark, sf_dir)
+    out = FO.weighted_rotation_order(fr, "tier", ["event_id"], TIER_WEIGHTS)
+    return out.select(
+        F.col("pop_seq").cast("long").alias("pop_seq"),
+        "tier",
+        "event_id",
+        "virtual_time",
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3/J7 — per-host politeness top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "w3_host_topk",
+    f"""
+    WITH frontier AS ({FRONTIER_SQL}),
+    ranked AS (
+      SELECT host, event_id,
+             CAST(row_number() OVER (PARTITION BY host ORDER BY event_id) AS BIGINT)
+               AS host_rank
+      FROM frontier
+    )
+    SELECT host, event_id, host_rank FROM ranked WHERE host_rank <= {HOST_TOPK}
+    """,
+)
+def w3_host_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = _frontier(spark, sf_dir)
+    out = FO.host_topk(fr, "host", ["event_id"], k=HOST_TOPK)
+    return out.select(
+        "host", "event_id", F.col("host_rank").cast("long").alias("host_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4/W5/O13 — retry backoff gate + deadletter threshold (crawler.js:150-154,308-311)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w4_backoff_gate",
+    f"""
+    WITH frontier AS ({FRONTIER_SQL})
+    SELECT event_id, attempt,
+           CASE WHEN attempt > 5 THEN 'deadletter'
+                WHEN ts + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}' THEN 'deferred'
+                ELSE 'eligible' END AS gate_status
+    FROM frontier
+    """,
+)
+def w4_backoff_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = _frontier(spark, sf_dir).withColumn(
+        "not_before", F.expr("ts + make_interval(0, 0, 0, 0, 0, 0, attempt * 5)")
+    )
+    out = FO.backoff_gate(fr, F.lit(GATE_NOW).cast("timestamp"))
+    return out.select("event_id", "attempt", "gate_status")
+
+
+# ---------------------------------------------------------------------------
+# J1/J5/U3 — seen-set anti-join (the Bloom-confirm join shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j1_seen_antijoin",
+    f"""
+    WITH frontier AS ({FRONTIER_SQL}),
+    seen AS (
+      SELECT DISTINCT event_id FROM frontier
+      WHERE {stable_long_hash_sql('event_id')} % 5 = 0
+    )
+    SELECT f.event_id, f.tier, f.host FROM frontier f
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.event_id = f.event_id)
+    """,
+)
+def j1_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seen-set confirm join (J1/J5): candidates left-anti seen keys.
+    The seen set here is a deterministic hash sample of the frontier — the
+    same url_hash-keyed shape filter_unseen() confirms Bloom positives with."""
+    fr = _frontier(spark, sf_dir)
+    seen = (
+        fr.filter(stable_long_hash("event_id") % 5 == 0)
+        .select("event_id")
+        .distinct()
+    )
+    return fr.join(seen, "event_id", "left_anti").select("event_id", "tier", "host")
+
+
+@register(
+    "j2_rehydrate_join",
+    """
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def j2_rehydrate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """304-cache rehydrate analog (githubFetcher.js:79-84): equi-join the
+    frontier against the doc store; dim side broadcast."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    customer = _t(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+
+
+@register(
+    "j4_attenuate_dropdup",
+    """
+    WITH frontier AS (SELECT event_id, user_id, event_type FROM events),
+    ranked AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      FROM frontier
+    )
+    SELECT user_id, event_type, event_id FROM ranked WHERE rn = 1
+    """,
+)
+def j4_attenuate_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return FO.attenuate(ev, ["user_id", "event_type"], ["event_id"]).select(
+        "user_id", "event_type", "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/F2/F5 — filters & freshness predicates
+# ---------------------------------------------------------------------------
+
+@register(
+    "f1_allowlist_filter",
+    f"""
+    WITH frontier AS ({FRONTIER_SQL})
+    SELECT event_id, host FROM frontier
+    WHERE host IN ({', '.join(repr(h) for h in HOST_ALLOWLIST)})
+    """,
+)
+def f1_allowlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = _frontier(spark, sf_dir)
+    return fr.filter(F.col("host").isin(*HOST_ALLOWLIST)).select("event_id", "host")
+
+
+@register(
+    "f2_regex_denylist",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE NOT regexp_matches(text, '{DENY_RE}')
+    """,
+)
+def f2_regex_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(~F.col("text").rlike(DENY_RE)).select("doc_id", "lang")
+
+
+@register(
+    "f5_freshness_policy",
+    f"""
+    SELECT CASE WHEN o_orderdate >= TIMESTAMP '{FRESH_CUT}' THEN 'fresh'
+                WHEN o_orderdate >= TIMESTAMP '{STALE_CUT}' THEN 'stale'
+                ELSE 'reprocess' END AS freshness,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def f5_freshness_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shouldProcess freshness buckets (traversalPolicy.js:170-188): fresh →
+    skip, stale → etag-check, expired → reprocess."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "freshness",
+            F.when(F.col("o_orderdate") >= F.lit(FRESH_CUT).cast("timestamp"), "fresh")
+            .when(F.col("o_orderdate") >= F.lit(STALE_CUT).cast("timestamp"), "stale")
+            .otherwise("reprocess"),
+        )
+        .groupBy("freshness")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — URL canonicalization + portable hash (the identity of the engine)
+# ---------------------------------------------------------------------------
+
+_RAW_URL_SQL = (
+    "'HTTP://Src-' || source || '.test:80//docs//' || CAST(doc_id AS VARCHAR) "
+    "|| '/?session=1#frag'"
+)
+
+
+@register(
+    "f8_url_canonicalize",
+    f"""
+    SELECT doc_id,
+           {U.canonicalize_url_sql(_RAW_URL_SQL)} AS canon_url,
+           {U.extract_host_sql(_RAW_URL_SQL)} AS host,
+           {stable_long_hash_sql(U.canonicalize_url_sql(_RAW_URL_SQL))} AS url_hash
+    FROM documents
+    """,
+)
+def f8_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTP://Src-"),
+        F.col("source"),
+        F.lit(".test:80//docs//"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?session=1#frag"),
+    )
+    canon = U.canonicalize_url(raw)
+    return docs.select(
+        "doc_id",
+        canon.alias("canon_url"),
+        U.extract_host(raw).alias("host"),
+        stable_long_hash(canon).alias("url_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6 — pagination fan-out (githubProcessor.js:58-79)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w6_pagination_fanout",
+    """
+    SELECT o_orderkey, unnest(generate_series(2, 2 + (o_orderkey // 10) % 4)) AS page
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def w6_pagination_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-page prefetch fan-out (githubProcessor.js:58-79): page 1 is
+    in hand, pages 2..last_page become child frontier rows via explode."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    last_page = 2 + (F.col("o_orderkey") / 10).cast("long") % 4
+    return orders.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(2).cast("long"), last_page)).alias("page"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A3/A5 — windowed rate counters & queue metrics
+# ---------------------------------------------------------------------------
+
+@register(
+    "a1_rate_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a1_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "a3_queue_depth",
+    f"""
+    WITH frontier AS ({FRONTIER_SQL})
+    SELECT tier, CAST(count(*) AS BIGINT) AS depth FROM frontier GROUP BY tier
+    """,
+)
+def a3_queue_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = _frontier(spark, sf_dir)
+    return fr.groupBy("tier").agg(F.count(F.lit(1)).alias("depth"))
+
+
+@register(
+    "a5_outcome_metrics",
+    f"""
+    WITH frontier AS ({FRONTIER_SQL}),
+    gated AS (
+      SELECT tier,
+             CASE WHEN attempt > 5 THEN 'deadletter'
+                  WHEN ts + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}' THEN 'deferred'
+                  ELSE 'eligible' END AS gate_status
+      FROM frontier
+    )
+    SELECT tier, gate_status, CAST(count(*) AS BIGINT) AS n
+    FROM gated GROUP BY tier, gate_status
+    """,
+)
+def a5_outcome_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = _frontier(spark, sf_dir).withColumn(
+        "not_before", F.expr("ts + make_interval(0, 0, 0, 0, 0, 0, attempt * 5)")
+    )
+    gated = FO.backoff_gate(fr, F.lit(GATE_NOW).cast("timestamp"))
+    return gated.groupBy("tier", "gate_status").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# D1-D5 — deduplication family (documents)
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = T.tokens_sql("text")
+_SHINGLES_SQL = T.shingles_sql("text", 3)
+
+_DOC_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id AS doc, s.shingle AS shingle
+  FROM documents, unnest({_SHINGLES_SQL}) AS s(shingle)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+  WITH sh AS ({_DOC_SHINGLES_SQL}),
+  sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+  inter AS (
+    SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+  )
+  SELECT i.id_a, i.id_b,
+         round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6)
+           AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc = i.id_a
+  JOIN sizes sb ON sb.doc = i.id_b
+"""
+
+
+@register(
+    "d1_dedup_exact",
+    f"""
+    SELECT {stable_long_hash_sql('text')} AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_exact(docs, "doc_id", "text")
+
+
+@register(
+    "d2_ngram_jaccard",
+    f"""
+    SELECT id_a, id_b, jaccard FROM ({_JACCARD_PAIRS_SQL}) WHERE jaccard >= 0.2
+    """,
+)
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+
+
+def _minhash_sql(num_hashes: int = D.MINHASH_FUNCS, bands: int = D.MINHASH_BANDS) -> str:
+    from ghcrawler_spark.hashing import stable_long_hash_seeded_sql
+
+    mins = ", ".join(
+        f"CAST(min({stable_long_hash_seeded_sql('shingle', i)}) AS BIGINT) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    return f"SELECT doc, {mins} FROM ({_DOC_SHINGLES_SQL}) GROUP BY doc"
+
+
+def _minhash_bands_sql(num_hashes: int = D.MINHASH_FUNCS, bands: int = D.MINHASH_BANDS) -> str:
+    rows = num_hashes // bands
+    selects = []
+    for b in range(bands):
+        members = " || '|' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        selects.append(
+            f"SELECT doc, {b} AS band, md5({members}) AS bkey FROM sigs"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "d3_minhash_lsh",
+    f"""
+    WITH sigs AS ({_minhash_sql()}),
+    banded AS ({_minhash_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+    ),
+    exact AS ({_JACCARD_PAIRS_SQL})
+    SELECT c.id_a, c.id_b, e.jaccard
+    FROM cand c JOIN exact e ON e.id_a = c.id_a AND e.id_b = c.id_b
+    WHERE e.jaccard >= 0.5
+    """,
+)
+def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+@register(
+    "d4_simhash_signatures",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS doc, t.tok AS tok
+      FROM documents, unnest({_TOKENS_SQL}) AS t(tok)
+    ),
+    hashed AS (SELECT doc, {stable_long_hash_sql('tok')} AS th FROM tok),
+    per_bit AS (
+      SELECT doc, b.bit AS bit,
+             sum(CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, unnest(generate_series(0, {D.SIMHASH_BITS - 1})) AS b(bit)
+      GROUP BY doc, b.bit
+    )
+    SELECT doc,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM per_bit GROUP BY doc
+    """,
+)
+def d4_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text")
+
+
+@register(
+    "d5_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {V.cosine_sql('a.embedding', 'b.embedding')} AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {V.cosine_sql('a.embedding', 'b.embedding')} >= 0.8
+    """,
+)
+def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# N1/N2 — similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_ANN_K = 10
+_N_QUERIES = 5
+
+_ANN_BF_SQL = f"""
+  WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+             WHERE vec_id < {_N_QUERIES}),
+  scored AS (
+    SELECT q.qid, e.vec_id,
+           {V.cosine_sql('e.embedding', 'q.qvec')} AS score
+    FROM embeddings e, q
+  ),
+  ranked AS (
+    SELECT qid, vec_id, score,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC)
+                AS BIGINT) AS rnk
+    FROM scored
+  )
+  SELECT qid, vec_id, score, rnk FROM ranked WHERE rnk <= {_ANN_K}
+"""
+
+
+@register("n1_ann_bruteforce", _ANN_BF_SQL)
+def n1_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = S.ann_bruteforce(emb, q, k=_ANN_K)
+    return out.select("qid", "vec_id", "score", F.col("rnk").cast("long").alias("rnk"))
+
+
+@register(
+    "n2_ann_bucketed",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec,
+                      {V.sign_bucket_sql('embedding')} AS bucket
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id, embedding, {V.sign_bucket_sql('embedding')} AS bucket
+          FROM embeddings),
+    scored AS (
+      SELECT q.qid, c.vec_id,
+             {V.cosine_sql('c.embedding', 'q.qvec')} AS score
+      FROM c JOIN q ON c.bucket = q.bucket
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC)
+                  AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rnk FROM ranked WHERE rnk <= {_ANN_K}
+    """,
+)
+def n2_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = S.ann_bucketed(emb, q, k=_ANN_K)
+    return out.select("qid", "vec_id", "score", F.col("rnk").cast("long").alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# T1/T2 — text analysis (documents)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t1_text_analysis",
+    f"""
+    SELECT doc_id,
+           {T.predicted_lang_sql('text')} AS pred_lang,
+           {T.quality_score_sql('text')} AS quality,
+           CAST({T.token_count_ws_sql('text')} AS BIGINT) AS tok_ws,
+           CAST({T.token_count_bpe_sql('text')} AS BIGINT) AS tok_bpe
+    FROM documents
+    """,
+)
+def t1_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.predicted_lang("text").alias("pred_lang"),
+        T.quality_score("text").alias("quality"),
+        T.token_count_ws("text").cast("long").alias("tok_ws"),
+        T.token_count_bpe("text").cast("long").alias("tok_bpe"),
+    )
+
+
+@register(
+    "t2_fingerprint",
+    f"""
+    SELECT doc_id, CAST({T.fingerprint_sql('text')} AS BIGINT) AS fp
+    FROM documents
+    """,
+)
+def t2_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# flagship: one crawl-round candidate selection end-to-end
+# ---------------------------------------------------------------------------
+
+@register(
+    "flagship_crawl_round",
+    f"""
+    WITH frontier AS ({FRONTIER_SQL}),
+    gated AS (
+      SELECT * FROM frontier
+      WHERE NOT (attempt > 5)
+        AND NOT (ts + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}')
+    ),
+    seen AS (SELECT DISTINCT event_id FROM frontier WHERE event_type = 'purchase'),
+    unseen AS (
+      SELECT g.* FROM gated g WHERE NOT EXISTS
+        (SELECT 1 FROM seen s WHERE s.event_id = g.event_id)
+    ),
+    polite AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY host ORDER BY event_id) AS BIGINT)
+               AS host_rank
+      FROM unseen
+    ),
+    capped AS (SELECT * FROM polite WHERE host_rank <= {HOST_TOPK}),
+    ranked AS (
+      SELECT tier, event_id, host, host_rank,
+             CAST(row_number() OVER (PARTITION BY tier ORDER BY event_id) AS BIGINT)
+               AS rank_in_tier
+      FROM capped
+    ),
+    vt AS (
+      SELECT *, rank_in_tier * CAST(CASE tier
+               WHEN 'soon' THEN {FO.WEIGHT_SCALE // TIER_WEIGHTS['soon']}
+               WHEN 'normal' THEN {FO.WEIGHT_SCALE // TIER_WEIGHTS['normal']}
+               ELSE {FO.WEIGHT_SCALE // TIER_WEIGHTS['later']} END AS BIGINT)
+               AS virtual_time
+      FROM ranked
+    )
+    SELECT CAST(row_number() OVER (ORDER BY virtual_time, tier, rank_in_tier) AS BIGINT)
+             AS pop_seq,
+           tier, event_id, host, host_rank
+    FROM vt
+    """,
+)
+def flagship_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full crawl-round candidate selection: backoff gate → seen-set
+    anti-join → per-host politeness cap → deterministic weighted pop order.
+    This is the composed plan the round engine (plans/round_engine.py) runs
+    against the real frontier table."""
+    fr = _frontier(spark, sf_dir).withColumn(
+        "not_before", F.expr("ts + make_interval(0, 0, 0, 0, 0, 0, attempt * 5)")
+    )
+    gated = (
+        FO.backoff_gate(fr, F.lit(GATE_NOW).cast("timestamp"))
+        .filter(F.col("gate_status") == "eligible")
+        .drop("gate_status")
+    )
+    seen = fr.filter(F.col("event_type") == "purchase").select("event_id").distinct()
+    unseen = gated.join(seen, "event_id", "left_anti")
+    capped = FO.host_topk(unseen, "host", ["event_id"], k=HOST_TOPK)
+    ordered = FO.weighted_rotation_order(capped, "tier", ["event_id"], TIER_WEIGHTS)
+    return ordered.select(
+        F.col("pop_seq").cast("long").alias("pop_seq"),
+        "tier",
+        "event_id",
+        "host",
+        F.col("host_rank").cast("long").alias("host_rank"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
