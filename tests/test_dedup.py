@@ -1,0 +1,82 @@
+"""Dedup family: exact detection, Jaccard exactness, LSH guarantees
+(identical docs always collide; LSH output ⊆ exact pairs), SimHash banding
+soundness for small Hamming radii."""
+
+from pyspark.sql import functions as F
+
+from ghcrawler_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog"),        # near dup
+    (4, "completely different words about spark and shuffles"),
+    (5, "spark shuffles partitions and broadcast joins at scale"),
+    (6, "the quick brown fox jumps over the lazy dog today"),    # near dup
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact(spark):
+    out = {r["keep_id"]: r["dup_count"] for r in dedup_exact(_docs(spark), "doc_id", "text").collect()}
+    assert out[1] == 2          # docs 1+2 collapse, keeper = min id
+    assert sum(out.values()) == 6
+    assert len(out) == 5
+
+
+def test_jaccard_exact_values(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), "doc_id", "text", 3, 0.0).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # doc1 has 7 3-shingles, doc6 has 8; 7 shared → 7/8
+    assert abs(pairs[(1, 6)] - 0.875) < 1e-9
+    assert (1, 4) not in pairs or pairs[(1, 4)] < 0.2
+
+
+def test_minhash_lsh_subset_of_exact_and_catches_identicals(spark):
+    docs = _docs(spark)
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert (1, 2) in lsh                       # identical docs always collide
+    assert lsh <= exact                        # verification removes FPs
+
+
+def test_simhash_identical_docs_equal_sig(spark):
+    sigs = {r["doc"]: r["simhash"] for r in simhash(_docs(spark), "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_simhash_banding_sound_for_small_radius(spark):
+    """Pigeonhole: any pair with hamming < bands MUST be a band candidate —
+    verify simhash_pairs finds every pair the brute-force scan finds."""
+    docs = _docs(spark)
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    sigs = {r["doc"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    brute = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= 3:
+                brute[(a, b)] = d
+    assert banded == brute

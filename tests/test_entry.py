@@ -1,0 +1,70 @@
+"""Driver-contract smoke: entry() returns rows with a stable schema; a fast
+subset of queries() matches oracle_sql() on DuckDB at sf0.001 (the full
+25-query sweep is tools/check_parity.py at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+FAST_SUBSET = [
+    "s1_tier_quota_pop",
+    "w1_weighted_rotation",
+    "j1_seen_antijoin",
+    "f8_url_canonicalize",
+    "a3_queue_depth",
+    "d1_dedup_exact",
+    "t2_fingerprint",
+    "flagship_crawl_round",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(9)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_entry_contract(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert {"pop_seq", "tier", "event_id"} <= set(df.columns)
+    assert [r.asDict() for r in entrymod.entry(spark).collect()] == [
+        r.asDict() for r in rows
+    ]
+
+
+def test_every_query_has_oracle():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) == set(qs)
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_query_oracle_parity(spark, oracle_con, name):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    sdf = qs[name](spark, SF).toPandas()
+    odf = oracle_con.execute(oracles[name]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    a, b = _norm(sdf), _norm(odf)
+    assert a.equals(b), f"{name}: value mismatch"

@@ -1,0 +1,93 @@
+"""Frontier selection operators: weighted-rotation fairness + determinism,
+tier quotas, politeness top-k, attenuation first-wins (mirrors the
+queueSet/crawler unit suites, SURVEY.md §5)."""
+
+from pyspark.sql import functions as F
+
+from ghcrawler_spark.operators.frontier_ops import (
+    attenuate,
+    backoff_gate,
+    host_topk,
+    tier_quota_select,
+    weighted_rotation_order,
+)
+
+WEIGHTS = {"soon": 2, "normal": 3, "later": 2}
+
+
+def _frontier(spark, n=70):
+    rows = [
+        (i, ["soon", "normal", "later"][i % 3], f"h{i % 5}", i) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["id", "tier", "host", "seq"])
+
+
+def test_rotation_fairness(spark):
+    """Over a full WEIGHT_SCALE window, tier pop counts track weights
+    (deterministic replacement of queueSet.js weighted random)."""
+    df = _frontier(spark, 210)
+    out = weighted_rotation_order(df, "tier", ["seq"], WEIGHTS)
+    first = out.filter(F.col("pop_seq") <= 35).groupBy("tier").count().collect()
+    counts = {r["tier"]: r["count"] for r in first}
+    # weights 2:3:2 → expect 10:15:10 exactly in a full window of 35
+    assert counts == {"soon": 10, "normal": 15, "later": 10}, counts
+
+
+def test_rotation_deterministic_across_partitioning(spark):
+    df = _frontier(spark, 100)
+    a = weighted_rotation_order(df.repartition(1), "tier", ["seq"], WEIGHTS)
+    b = weighted_rotation_order(df.repartition(13), "tier", ["seq"], WEIGHTS)
+    ra = [(r["pop_seq"], r["id"]) for r in a.orderBy("pop_seq").collect()]
+    rb = [(r["pop_seq"], r["id"]) for r in b.orderBy("pop_seq").collect()]
+    assert ra == rb
+
+
+def test_rotation_fifo_within_tier(spark):
+    df = _frontier(spark, 60)
+    out = weighted_rotation_order(df, "tier", ["seq"], WEIGHTS).orderBy("pop_seq")
+    by_tier = {}
+    for r in out.collect():
+        by_tier.setdefault(r["tier"], []).append(r["seq"])
+    for tier, seqs in by_tier.items():
+        assert seqs == sorted(seqs), tier
+
+
+def test_tier_quota(spark):
+    df = _frontier(spark, 60)
+    out = tier_quota_select(df, "tier", ["seq"], {"soon": 3, "normal": 5, "later": 0})
+    counts = {r["tier"]: r["count"] for r in out.groupBy("tier").count().collect()}
+    assert counts == {"soon": 3, "normal": 5}
+
+
+def test_host_topk_budget_col(spark):
+    df = _frontier(spark, 50).withColumn(
+        "budget", F.when(F.col("host") == "h0", 1).otherwise(3)
+    )
+    out = host_topk(df, "host", ["seq"], budget_col="budget")
+    counts = {r["host"]: r["count"] for r in out.groupBy("host").count().collect()}
+    assert counts["h0"] == 1
+    assert all(v <= 3 for v in counts.values())
+    # FIFO: kept rows are the earliest seqs per host
+    kept_h1 = sorted(r["seq"] for r in out.filter(F.col("host") == "h1").collect())
+    all_h1 = sorted(
+        r["seq"] for r in df.filter(F.col("host") == "h1").collect()
+    )
+    assert kept_h1 == all_h1[:3]
+
+
+def test_attenuate_first_wins(spark):
+    rows = [(1, "k1", 10), (2, "k1", 5), (3, "k2", 1), (4, "k2", 2)]
+    df = spark.createDataFrame(rows, ["id", "key", "ord"])
+    out = attenuate(df, ["key"], ["ord", "id"])
+    got = {r["key"]: r["id"] for r in out.collect()}
+    assert got == {"k1": 2, "k2": 3}
+
+
+def test_backoff_gate_taxonomy(spark):
+    rows = [(1, 0, None), (2, 7, None), (3, 1, "2030-01-01 00:00:00")]
+    df = spark.createDataFrame(rows, "id int, attempt int, nb string").withColumn(
+        "not_before", F.col("nb").cast("timestamp")
+    )
+    out = backoff_gate(df, F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    got = {r["id"]: r["gate_status"] for r in out.collect()}
+    assert got == {1: "eligible", 2: "deadletter", 3: "deferred"}

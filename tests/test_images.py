@@ -1,0 +1,95 @@
+"""Image codec + validation plumbing: PNG round-trips exactly, the lossy stub
+stays within its quantization bound (>40 dB), phash is stable, and the J8
+validation join (BASELINE.json per-row invariant) passes on the fixture."""
+
+import numpy as np
+import pytest
+
+from ghcrawler_spark import fixtures
+from ghcrawler_spark.functions.images import (
+    PSNR_INF,
+    decode_image,
+    fake_jpeg_decode,
+    fake_jpeg_encode,
+    phash64,
+    png_decode,
+    png_encode,
+    psnr,
+    resize_thumbnail_udf,
+    validate_against_reference,
+)
+
+
+def _pixels(seed=7, h=32, w=48):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+def test_png_roundtrip_exact():
+    px = _pixels()
+    assert np.array_equal(png_decode(png_encode(px)), px)
+
+
+def test_png_deterministic():
+    px = _pixels()
+    assert png_encode(px) == png_encode(px.copy())
+
+
+def test_fake_jpeg_psnr_bound():
+    px = _pixels()
+    dec = fake_jpeg_decode(fake_jpeg_encode(px))
+    val = psnr(px, dec)
+    assert 40.0 <= val < PSNR_INF
+
+
+def test_psnr_identical_is_inf():
+    px = _pixels()
+    assert psnr(px, px) == PSNR_INF
+
+
+def test_decode_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"whatever", "webp")
+    with pytest.raises(NotImplementedError):
+        fake_jpeg_decode(b"\xff\xd8not-our-stub-bytes")
+
+
+def test_phash_stable_and_robust():
+    px = _pixels()
+    h1 = phash64(px)
+    assert h1 == phash64(px.copy())
+    # quantization (the lossy stub) must not move the average-hash much
+    h2 = phash64(fake_jpeg_decode(fake_jpeg_encode(px)))
+    assert bin(h1 ^ h2).count("1") <= 6
+
+
+def test_validation_join_on_fixture(spark):
+    from pyspark.sql import functions as F
+
+    fx = fixtures.generate(seed=11, n_hosts=3)
+    corpus, _, _ = fixtures.to_spark(spark, fx)
+    fetched = corpus.select("image_id", "bytes", "fmt", "caption")
+    # the reference frame is the lossless PNG truth
+    ref = corpus.select(
+        "image_id",
+        F.col("ref_bytes").alias("bytes"),
+        F.lit("png").alias("fmt"),
+        "caption",
+    )
+    out = validate_against_reference(fetched, ref)
+    rows = out.select("image_id", "fmt", "psnr_db", "caption_ok", "valid").collect()
+    assert rows and all(r["valid"] for r in rows)
+    jpegs = [r for r in rows if r["fmt"] == "jpeg"]
+    assert jpegs, "fixture should include lossy images"
+    assert all(40.0 <= r["psnr_db"] < PSNR_INF for r in jpegs)
+
+
+def test_resize_thumbnail_udf(spark):
+    fx = fixtures.generate(seed=5, n_hosts=2)
+    corpus, _, _ = fixtures.to_spark(spark, fx)
+    thumb = corpus.limit(4).select(
+        "image_id", resize_thumbnail_udf(8)("bytes", "fmt").alias("thumb")
+    )
+    for r in thumb.collect():
+        px = png_decode(bytes(r["thumb"]))
+        assert px.shape == (8, 8, 3)

@@ -1,0 +1,151 @@
+"""The crawl-order oracle tests (SURVEY.md §5 port of processingTests.js):
+engine order log + seen set == pure-Python reference simulator, exactly;
+kill/resume from snapshot reproduces the uninterrupted run; Bloom on/off
+changes nothing; a crashed (uncommitted) round replays identically."""
+
+import os
+import shutil
+
+import pytest
+
+from ghcrawler_spark import fixtures
+from ghcrawler_spark.plans.round_engine import CrawlConfig, CrawlEngine
+from ghcrawler_spark.simulator import ReferenceSimulator, SimConfig
+from ghcrawler_spark.sources.snapshot import SnapshotStore
+
+ROBOTS = {"h0001.test": ["/p3"], "h0002.test": ["/img/"]}
+N_ROUNDS = 6
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return fixtures.generate(seed=42, n_hosts=4, n_seeds=2)
+
+
+@pytest.fixture(scope="module")
+def sim_result(fx):
+    corpus = dict(zip(fx.corpus["url"], fx.corpus["image_id"]))
+    links = {}
+    for row in fx.links.itertuples(index=False):
+        links.setdefault(row.src_url, []).append((row.edge, row.dst_url, row.dst_type))
+    for v in links.values():
+        v.sort()
+    sim = ReferenceSimulator(corpus, links, SimConfig(robots_deny=ROBOTS))
+    sim.seed(fx.seeds.to_dict("records"))
+    for _ in range(N_ROUNDS):
+        if not sim.run_round():
+            break
+    return sim
+
+
+def _engine(spark, fx, root, **cfg_kw):
+    corpus, links, seeds = fixtures.to_spark(spark, fx)
+    store = SnapshotStore(root)
+    eng = CrawlEngine(
+        spark, store, corpus, links,
+        CrawlConfig(robots_deny=ROBOTS, **cfg_kw),
+    )
+    return eng, store, seeds
+
+
+def _collect_state(spark, store):
+    log = [
+        r.asDict()
+        for r in store.read(spark, "order_log")
+        .orderBy("seq")
+        .select("seq", "round", "pop_seq", "url", "type", "tier", "host", "outcome")
+        .collect()
+    ]
+    seen = {r.url for r in store.read(spark, "seen").collect()}
+    return log, seen
+
+
+def test_engine_matches_simulator(spark, fx, sim_result, tmp_path):
+    eng, store, seeds = _engine(spark, fx, str(tmp_path / "s"))
+    eng.seed(seeds)
+    for _ in range(N_ROUNDS):
+        if not eng.run_round():
+            break
+    log, seen = _collect_state(spark, store)
+    assert log == sim_result.order_log
+    assert seen == sim_result.seen
+
+
+def test_bloom_off_identical(spark, fx, sim_result, tmp_path):
+    eng, store, seeds = _engine(spark, fx, str(tmp_path / "s"), use_bloom=False)
+    eng.seed(seeds)
+    for _ in range(N_ROUNDS):
+        if not eng.run_round():
+            break
+    log, seen = _collect_state(spark, store)
+    assert log == sim_result.order_log
+    assert seen == sim_result.seen
+
+
+def test_kill_and_resume_exact(spark, fx, sim_result, tmp_path):
+    """Run 3 rounds, 'kill' (drop the engine), resume with a FRESH engine
+    over the same store, finish — state must equal the uninterrupted run."""
+    root = str(tmp_path / "s")
+    eng, store, seeds = _engine(spark, fx, root)
+    eng.seed(seeds)
+    for _ in range(3):
+        eng.run_round()
+    del eng
+
+    eng2, store2, _ = _engine(spark, fx, root)  # resume: no re-seed
+    for _ in range(N_ROUNDS - 3):
+        if not eng2.run_round():
+            break
+    log, seen = _collect_state(spark, store2)
+    assert log == sim_result.order_log
+    assert seen == sim_result.seen
+
+
+def test_crash_mid_round_replays(spark, fx, sim_result, tmp_path):
+    """Simulate a crash AFTER tables were written but BEFORE the manifest
+    commit: the orphan version dir must be ignored and the round replayed
+    to the identical result (the Iceberg-snapshot atomicity contract)."""
+    root = str(tmp_path / "s")
+    eng, store, seeds = _engine(spark, fx, root)
+    eng.seed(seeds)
+    eng.run_round()  # committed round 1
+
+    # crash: round-2 data written, manifest NOT advanced
+    manifest_before = store.read_manifest()
+    real_commit = store.commit
+    store.commit = lambda *a, **k: None
+    eng.run_round()
+    store.commit = real_commit
+    assert store.read_manifest() == manifest_before
+    assert os.path.exists(os.path.join(root, "v000002"))  # orphan dir
+
+    # resume: fresh engine replays round 2 over the orphan, then continues
+    eng2, store2, _ = _engine(spark, fx, root)
+    for _ in range(N_ROUNDS - 1):
+        if not eng2.run_round():
+            break
+    log, seen = _collect_state(spark, store2)
+    assert log == sim_result.order_log
+    assert seen == sim_result.seen
+
+
+def test_metrics_and_politeness_invariant(spark, fx, tmp_path):
+    """Property: no host ever exceeds its per-round bucket budget."""
+    eng, store, seeds = _engine(spark, fx, str(tmp_path / "s"))
+    eng.seed(seeds)
+    for _ in range(4):
+        eng.run_round()
+    log = store.read(spark, "order_log")
+    per = (
+        log.groupBy("round", "host").count().collect()
+    )
+    cap = eng.cfg.bucket_capacity
+    for r in per:
+        assert r["count"] <= cap, (r["round"], r["host"], r["count"])
+    m = {r["round"]: r for r in store.read(spark, "metrics").collect()}
+    assert set(m) == {1, 2, 3, 4}
+    sel_from_log = {r["round"]: 0 for r in per}
+    for r in per:
+        sel_from_log[r["round"]] += r["count"]
+    for rnd, row in m.items():
+        assert row["selected"] == sel_from_log.get(rnd, 0)

@@ -1,0 +1,74 @@
+"""ANN: brute-force top-k matches a numpy oracle; bucketed results stay
+within the query's bucket and scores match brute-force for shared ids."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ghcrawler_spark.operators.similarity import (
+    ann_bruteforce,
+    ann_bucketed,
+    embedding_near_dup_pairs,
+)
+
+
+def _corpus(spark, n=80, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def test_bruteforce_matches_numpy(spark):
+    corpus, vecs = _corpus(spark)
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = ann_bruteforce(corpus, q, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rnk"], r["vec_id"], r["score"]))
+    v64 = vecs.astype(np.float64)
+    norms = np.linalg.norm(v64, axis=1)
+    for qid in range(3):
+        cos = (v64 @ v64[qid]) / (norms * norms[qid])
+        order = sorted(range(len(cos)), key=lambda i: (-round(cos[i], 4), i))[:5]
+        got_ids = [vid for _, vid, _ in sorted(by_q[qid])]
+        assert got_ids == order, qid
+        for rnk, vid, score in sorted(by_q[qid]):
+            assert abs(score - round(cos[vid], 4)) < 2e-4
+
+
+def test_bucketed_subset_semantics(spark):
+    corpus, _ = _corpus(spark, n=120, dim=64)
+    q = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    bf = {(r["qid"], r["vec_id"]): r["score"] for r in ann_bruteforce(corpus, q, k=10).collect()}
+    bk = ann_bucketed(corpus, q, k=10).collect()
+    assert bk
+    for r in bk:
+        # every query matches itself within its own bucket at rank 1
+        if r["vec_id"] == r["qid"]:
+            assert r["rnk"] == 1
+        key = (r["qid"], r["vec_id"])
+        if key in bf:
+            assert abs(r["score"] - bf[key]) < 1e-12
+
+
+def test_near_dup_pairs_thresholded(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert got == {(1, 2)}
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.99, bucketed=True).collect()
+    }
+    assert bucketed <= got
