@@ -63,6 +63,113 @@ def weighted_rotation_order(
     return out.withColumn("pop_seq", F.row_number().over(pop_w))
 
 
+def scalable_rank(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    out_col: str = "rank_in_group",
+    buckets: int = 64,
+    bounds: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Distributed 1..n ranking within each group by a numeric order column —
+    the scale-safe replacement for ``row_number().over(partitionBy(group))``
+    when groups are huge (e.g. 3 tiers × 10^10 rows: a per-tier window puts an
+    entire tier in ONE task; this runs in buckets × groups parallel tasks).
+
+    Two passes: (1) uniform-range bucket by order_col (min/max job), count
+    rows per (bucket, group) — a tiny matrix collected to the driver; (2)
+    rank = prefix-offset(bucket, group) + row_number within (bucket, group).
+    Deterministic for unique order_col values.
+    """
+    # persist: this operator drives up to three actions over its input
+    # (min/max unless bounds given, bucket counts, the ranked output) —
+    # without caching, an expensive upstream (politeness window over the
+    # whole frontier) would run that many times
+    df = df.persist()
+    if bounds is not None:
+        mn, mx = bounds  # caller knows the order-key range → one less pass
+    else:
+        mn, mx = df.agg(F.min(order_col), F.max(order_col)).first()
+    if mn is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    width = max(1, (int(mx) - int(mn) + buckets) // buckets)
+    bucket = F.floor((F.col(order_col) - F.lit(int(mn))) / F.lit(width))
+    with_b = df.withColumn("_bkt", bucket.cast("long"))
+    counts = (
+        with_b.groupBy("_bkt", group_col).count().collect()
+    )
+    by_group: dict[str, dict[int, int]] = {}
+    for row in counts:
+        by_group.setdefault(row[group_col], {})[row["_bkt"]] = row["count"]
+    offsets = []  # (bucket, group, offset)
+    for g, bkt_counts in by_group.items():
+        running = 0
+        for b in sorted(bkt_counts):
+            offsets.append((int(b), g, running))
+            running += bkt_counts[b]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, f"_bkt long, {group_col} string, _off long"
+    )
+    w = Window.partitionBy("_bkt", group_col).orderBy(order_col)
+    return (
+        with_b.join(F.broadcast(off_df), ["_bkt", group_col])
+        .withColumn(out_col, (F.col("_off") + F.row_number().over(w)).cast("long"))
+        .drop("_bkt", "_off")
+    )
+
+
+def weighted_rotation_order_scalable(
+    df: DataFrame,
+    tier_col: str,
+    order_col: str,
+    weights: dict[str, int],
+    buckets: int = 64,
+    bounds: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Same result as ``weighted_rotation_order`` (pinned by tests) with NO
+    global or per-tier single-partition window.
+
+    rank_in_tier comes from ``scalable_rank``; the global pop position is
+    CLOSED-FORM: a row in tier t with rank r (virtual time vt = r·s_t) is
+    preceded by (r-1) rows of its own tier plus, for every other tier t',
+    min(floor((vt-1)/s_t'), n_t') rows — plus one tie row when s_t' divides
+    vt exactly and t' sorts before t. No shuffle beyond the rank's
+    (bucket × tier) exchange; the interleave itself is arithmetic.
+    """
+    ranked = scalable_rank(df, tier_col, order_col, "rank_in_tier", buckets, bounds)
+    # per-tier totals (reuses nothing big — one tiny agg)
+    tier_counts = {
+        r[tier_col]: r["n"]
+        for r in ranked.groupBy(tier_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    strides = {t: WEIGHT_SCALE // w for t, w in weights.items()}
+    vt = F.lit(None).cast("long")
+    for t, s in strides.items():
+        vt = F.when(F.col(tier_col) == t, (F.col("rank_in_tier") * s).cast("long")).otherwise(vt)
+    out = ranked.withColumn("virtual_time", vt)
+
+    pop = F.col("rank_in_tier").cast("long")  # own tier: (r-1) before + self
+    for t_other in weights:
+        n_other = int(tier_counts.get(t_other, 0))
+        if n_other == 0:
+            continue
+        s_o = strides[t_other]
+        before = F.least(
+            F.floor((F.col("virtual_time") - 1) / s_o).cast("long"), F.lit(n_other)
+        )
+        tie = (
+            (F.col("virtual_time") % s_o == 0)
+            & (F.lit(t_other) < F.col(tier_col))
+            & ((F.col("virtual_time") / s_o) <= n_other)
+        )
+        contrib = F.when(
+            F.col(tier_col) == t_other, F.lit(0).cast("long")
+        ).otherwise(before + F.when(tie, 1).otherwise(0).cast("long"))
+        pop = pop + contrib
+    return out.withColumn("pop_seq", pop.cast("long"))
+
+
 def tier_quota_select(
     df: DataFrame,
     tier_col: str,

@@ -180,7 +180,9 @@ def filter_unseen(
         return candidates.join(
             seen_keys.select(key_col).distinct(), on=key_col, how="left_anti"
         )
-    probed = bloom.probe(candidates, key_col=key_col)
+    # persist: both union branches below scan the probe output — without it
+    # the candidate pipeline (and the Arrow probe) would execute twice
+    probed = bloom.probe(candidates, key_col=key_col).persist()
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = suspects.join(

@@ -452,6 +452,82 @@ def a5_outcome_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.groupBy("tier", "gate_status").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "a6_metrics_rollup",
+    f"""
+    WITH frontier AS ({FRONTIER_SQL})
+    SELECT coalesce(tier, '(all)') AS tier,
+           coalesce(event_type, '(all)') AS event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM frontier GROUP BY ROLLUP(tier, event_type)
+    """,
+)
+def a6_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics rollup (SURVEY §2.4: Catalyst grouping-sets 'for free' —
+    per-tier, per-(tier,type), and grand-total counts in one pass)."""
+    fr = _frontier(spark, sf_dir)
+    return (
+        fr.rollup("tier", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("tier"), F.lit("(all)")).alias("tier"),
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            "n",
+        )
+    )
+
+
+@register(
+    "s6_upsert_latest",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM ranked WHERE rn = 1
+    """,
+)
+def s6_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-store upsert shape (S6: MERGE last-writer-wins on the key) as a
+    window: latest row per key."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
+
+
+@register(
+    "x1_json_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def x1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar family (§2.8: the reference round-trips queue messages
+    through JSON; here: parse the props payload and aggregate a field)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # D1-D5 — deduplication family (documents)
 # ---------------------------------------------------------------------------

@@ -36,7 +36,7 @@ from ghcrawler_spark.hashing import stable_long_hash
 from ghcrawler_spark.operators.frontier_ops import (
     WEIGHT_SCALE,
     host_topk,
-    weighted_rotation_order,
+    weighted_rotation_order_scalable,
 )
 from ghcrawler_spark.operators.seen import BloomShardSet, filter_unseen
 from ghcrawler_spark.sources.snapshot import SnapshotStore
@@ -73,6 +73,9 @@ class CrawlConfig:
     max_attempts: int = 5
     max_rounds: int = 200
     robots_deny: dict = field(default_factory=dict)  # host -> [path prefixes]
+    # visitor map (lib/visitorMap.js analog): {parent_type: {edge: child_type}};
+    # None = traverse every edge in the link table
+    visitor_map: dict | None = None
     inject_failures: bool = True
     validate_images: bool = False  # decode+PSNR audit columns on docs
     use_bloom: bool = True
@@ -149,18 +152,28 @@ class CrawlEngine:
             "enqueue_seq", F.row_number().over(w).cast("long")
         ).select("url", "type", "tier", "host", "enqueue_seq", F.col("attempt").cast("int"))
         n_seeded = frontier.count()
-        tables = {
-            "frontier": frontier,
-            "seen": self._empty(SEEN_SCHEMA),
-            "order_log": self._empty(ORDER_LOG_SCHEMA),
-            "host_state": self._empty(HOST_STATE_SCHEMA),
-            "docs": self._empty(DOCS_SCHEMA),
-            "deadletter": self._empty(DEADLETTER_SCHEMA),
-            "excluded": denied.select("url", F.lit(0).alias("round")),
-            "metrics": self._empty(METRICS_SCHEMA),
-        }
-        self.store.write_tables(0, tables)
-        self.store.commit(0, {"next_seq": n_seeded, "total_popped": 0, "round": 0})
+        # full-state tables: rewritten per round
+        self.store.write_tables(
+            0, {"frontier": frontier, "host_state": self._empty(HOST_STATE_SCHEMA)}
+        )
+        # history tables: append-only deltas (Iceberg append-snapshot model)
+        self.store.write_append(0, "seen", self._empty(SEEN_SCHEMA))
+        self.store.write_append(0, "order_log", self._empty(ORDER_LOG_SCHEMA))
+        self.store.write_append(0, "docs", self._empty(DOCS_SCHEMA))
+        self.store.write_append(0, "deadletter", self._empty(DEADLETTER_SCHEMA))
+        self.store.write_append(
+            0, "excluded", denied.select("url", F.lit(0).alias("round"))
+        )
+        self.store.write_append(0, "metrics", self._empty(METRICS_SCHEMA))
+        self.store.commit(
+            0,
+            {
+                "next_seq": n_seeded,
+                "total_popped": 0,
+                "round": 0,
+                "frontier_size": n_seeded,
+            },
+        )
 
     # -- one round -------------------------------------------------------------
 
@@ -172,11 +185,12 @@ class CrawlEngine:
         next_seq = manifest["next_seq"]
         total_popped = manifest["total_popped"]
 
-        frontier = self.store.read(self.spark, "frontier", version)
-        seen = self.store.read(self.spark, "seen", version)
-        host_state = self.store.read(self.spark, "host_state", version)
-        if frontier.limit(1).count() == 0:
+        # frontier emptiness is a manifest scalar — no probe job
+        if manifest.get("frontier_size", 1) == 0:
             return False
+        frontier = self.store.read(self.spark, "frontier", version)
+        seen = self.store.read_appends(self.spark, "seen", version)
+        host_state = self.store.read(self.spark, "host_state", version)
 
         # 1. refill token buckets for all known + current hosts
         #    (first-seen hosts start at capacity)
@@ -202,15 +216,14 @@ class CrawlEngine:
             budgeted, "host", ["enqueue_seq"], budget_col="level"
         ).drop("host_rank", "level")
 
-        # 4. weighted rotation + round capacity
-        ordered = weighted_rotation_order(
-            polite, "tier", ["enqueue_seq"], cfg.tier_weights
+        # 4. weighted rotation + round capacity (closed-form interleave —
+        # no global window; see frontier_ops.weighted_rotation_order_scalable)
+        ordered = weighted_rotation_order_scalable(
+            polite, "tier", "enqueue_seq", cfg.tier_weights
         )
         selected = ordered.filter(F.col("pop_seq") <= cfg.round_capacity).drop(
             "rank_in_tier", "virtual_time"
         )
-        selected = selected.persist()
-        n_selected = selected.count()
 
         # 5. fetch: corpus join + failure injection
         corpus_keys = self.corpus.select(
@@ -235,6 +248,15 @@ class CrawlEngine:
             .otherwise("Missing"),
         )
         fetched = fetched.persist()
+        # ONE job yields the whole outcome histogram (selected/requeued/
+        # processed/...) instead of a count per stage
+        hist = {
+            r["outcome"]: r["count"]
+            for r in fetched.groupBy("outcome").count().collect()
+        }
+        n_selected = sum(hist.values())
+        n_requeued = hist.get("Requeued", 0)
+        n_dead = dead.count()
 
         # order log (seq = global running pop counter)
         log_rows = fetched.select(
@@ -284,17 +306,33 @@ class CrawlEngine:
                 F.lit(None).cast("boolean").alias("valid"),
             )
 
-        # 7. children of Traversed pages
-        remaining = eligible.join(selected.select("url"), "url", "left_anti")
+        # 7. children of Traversed pages (all selected-derived frames read
+        # the persisted `fetched` — `selected` itself is never re-executed)
+        remaining = eligible.join(fetched.select("url"), "url", "left_anti")
         parents = fetched.filter(F.col("outcome") == "Traversed").select(
-            F.col("url").alias("src_url"), F.col("pop_seq").alias("parent_pop")
+            F.col("url").alias("src_url"),
+            F.col("pop_seq").alias("parent_pop"),
+            F.col("type").alias("parent_type"),
         )
         raw_children = parents.join(self.links, "src_url").select(
             "parent_pop",
+            "parent_type",
             F.col("edge"),
             F.col("dst_url").alias("url"),
             F.col("dst_type").alias("type"),
         )
+        if cfg.visitor_map is not None:
+            # only traverse edges the visitor map declares for the parent type
+            # (visitorMap.js:140-390 — unlisted edges are not queued)
+            from ghcrawler_spark.plans.policy import visitor_map_df
+
+            vm = visitor_map_df(self.spark, cfg.visitor_map)
+            raw_children = raw_children.join(
+                F.broadcast(vm.select("parent_type", "edge")),
+                ["parent_type", "edge"],
+                "left_semi",
+            )
+        raw_children = raw_children.drop("parent_type")
         # attenuate: first discovery wins per dst (J4)
         w_att = Window.partitionBy("url").orderBy("parent_pop", "edge", "url")
         uniq = (
@@ -306,10 +344,15 @@ class CrawlEngine:
         uniq = uniq.withColumn("url_hash", stable_long_hash(F.col("url")))
         bloom = None
         if cfg.use_bloom:
+            # size shards from the manifest pop counter (upper bound on the
+            # seen-set size) — avoids a count job per round
             bloom = BloomShardSet.build(
                 seen_next.select("url_hash"),
                 num_shards=cfg.bloom_shards,
                 fpr=cfg.bloom_fpr,
+                expected_per_shard=max(
+                    64, (total_popped + n_selected) // cfg.bloom_shards + 1
+                ),
             )
         unseen_children = filter_unseen(
             uniq, seen_next.select("url_hash"), bloom, key_col="url_hash"
@@ -321,59 +364,73 @@ class CrawlEngine:
             "url",
             "left_anti",
         )
-        fresh = fresh.withColumn("host", extract_host(F.col("url")))
+        # persist: both the allowed (frontier) and denied (excluded) branches
+        # read this frame — without it the Bloom probe + joins run twice
+        fresh = fresh.withColumn("host", extract_host(F.col("url"))).persist()
         fresh_allowed, fresh_denied = self._robots_allowed(fresh)
-        w_child = Window.orderBy("parent_pop", "url")
-        children = fresh_allowed.select(
+
+        # 7b+8. one window assigns enqueue_seq to children AND tail requeues:
+        # children first (_grp=0, by parent pop then url), then requeues
+        # (_grp=1, by pop order). The per-round enqueue batch is bounded by
+        # round_capacity × fan-out, so the single-partition sort is safe.
+        child_rows = fresh_allowed.select(
             "url",
             "type",
             F.when(F.col("edge") == "images", "soon").otherwise("normal").alias("tier"),
             "host",
-            (F.lit(next_seq) + F.row_number().over(w_child)).alias("enqueue_seq"),
             F.lit(0).cast("int").alias("attempt"),
+            F.lit(0).alias("_grp"),
+            F.col("parent_pop").cast("long").alias("_ord"),
         )
-        children = children.persist()
-        n_children = children.count()
-
-        # 8. requeues re-enter at the tail
-        w_rq = Window.orderBy("pop_seq")
-        requeues = fetched.filter(F.col("outcome") == "Requeued").select(
+        rq_rows = fetched.filter(F.col("outcome") == "Requeued").select(
             "url",
             "type",
             "tier",
             "host",
-            (F.lit(next_seq + n_children) + F.row_number().over(w_rq)).alias(
-                "enqueue_seq"
-            ),
             (F.col("attempt") + 1).cast("int").alias("attempt"),
+            F.lit(1).alias("_grp"),
+            F.col("pop_seq").cast("long").alias("_ord"),
         )
-        n_requeued = requeues.count()
+        w_enq = Window.orderBy("_grp", "_ord", "url")
+        new_rows = (
+            child_rows.unionByName(rq_rows)
+            .withColumn("enqueue_seq", F.lit(next_seq) + F.row_number().over(w_enq))
+            .persist()
+        )
+        n_children = new_rows.filter(F.col("_grp") == 0).count()
+        new_rows_clean = new_rows.select(
+            "url", "type", "tier", "host", "enqueue_seq", "attempt"
+        )
 
         # 9. bucket spend
-        spend = selected.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+        spend = fetched.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
         levels_next = levels.join(spend, "host", "left").select(
             "host",
             (F.col("level") - F.coalesce(F.col("_n"), F.lit(0))).alias("level"),
         )
 
-        frontier_next = remaining.unionByName(children).unionByName(requeues)
-        n_dead = dead.count()
-        n_frontier_after = frontier_next.count()
+        frontier_next = remaining.unionByName(new_rows_clean)
+        # size arithmetic — no count jobs (invariant-checked by tests)
+        n_frontier_after = (
+            manifest["frontier_size"] - n_dead - n_selected + n_children + n_requeued
+        )
 
         metrics_new = self.spark.createDataFrame(
             [(rnd, n_selected, n_children, n_requeued, n_dead, n_frontier_after)],
             METRICS_SCHEMA,
         )
 
-        tables = {
-            "frontier": frontier_next,
-            "seen": seen_next,
-            "order_log": self.store.read(self.spark, "order_log", version).unionByName(
-                log_rows
-            ),
-            "host_state": levels_next,
-            "docs": self.store.read(self.spark, "docs", version).unionByName(docs_new),
-            "deadletter": self.store.read(self.spark, "deadletter", version).unionByName(
+        self.store.write_tables(
+            rnd, {"frontier": frontier_next, "host_state": levels_next}
+        )
+        self.store.write_append(rnd, "seen", newly_seen)
+        self.store.write_append(rnd, "order_log", log_rows)
+        if hist.get("Processed", 0) > 0:
+            self.store.write_append(rnd, "docs", docs_new)
+        if n_dead > 0:
+            self.store.write_append(
+                rnd,
+                "deadletter",
                 dead.select(
                     "url",
                     "type",
@@ -381,27 +438,24 @@ class CrawlEngine:
                     F.lit(rnd).alias("round"),
                     "attempt",
                     F.lit("max_attempts").alias("reason"),
-                )
-            ),
-            "excluded": self.store.read(self.spark, "excluded", version).unionByName(
-                fresh_denied.select("url", F.lit(rnd).alias("round"))
-            ),
-            "metrics": self.store.read(self.spark, "metrics", version).unionByName(
-                metrics_new
-            ),
-        }
-        self.store.write_tables(rnd, tables)
+                ),
+            )
+        self.store.write_append(
+            rnd, "excluded", fresh_denied.select("url", F.lit(rnd).alias("round"))
+        )
+        self.store.write_append(rnd, "metrics", metrics_new)
         self.store.commit(
             rnd,
             {
                 "next_seq": next_seq + n_children + n_requeued,
                 "total_popped": total_popped + n_selected,
                 "round": rnd,
+                "frontier_size": n_frontier_after,
             },
         )
-        selected.unpersist()
         fetched.unpersist()
-        children.unpersist()
+        new_rows.unpersist()
+        fresh.unpersist()
         return True
 
     def run(self) -> int:

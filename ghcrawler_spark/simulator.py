@@ -85,6 +85,7 @@ class SimConfig:
     max_attempts: int = 5
     max_rounds: int = 200
     robots_deny: dict = field(default_factory=dict)  # host -> [path prefixes]
+    visitor_map: dict | None = None  # {parent_type: {edge: child_type}}
     inject_failures: bool = True
 
 
@@ -218,6 +219,10 @@ class ReferenceSimulator:
         best: dict[str, tuple] = {}  # dst_url -> (parent_pop, edge, dst_type)
         for pop_seq, parent in traversed:
             for edge, dst, dst_type in self.links.get(parent.url, ()):
+                if cfg.visitor_map is not None and edge not in cfg.visitor_map.get(
+                    parent.type, {}
+                ):
+                    continue
                 key = (pop_seq, edge, dst)
                 if dst not in best or key < best[dst][:3]:
                     best[dst] = (pop_seq, edge, dst, dst_type)

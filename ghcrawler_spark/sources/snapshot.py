@@ -83,3 +83,38 @@ class SnapshotStore:
     def read_manifest(self) -> dict:
         with open(self._manifest_path()) as f:
             return json.load(f)
+
+    # -- append-only tables ---------------------------------------------------
+    #
+    # Full-state tables (frontier, host_state) are rewritten per round — they
+    # churn. History tables (order_log, seen, docs, deadletter, excluded,
+    # metrics) only ever GROW; rewriting them per round is O(total²) I/O over
+    # a crawl. Instead each round writes a DELTA directory
+    # (``<name>/delta_v{round}``) and readers union the deltas up to the
+    # committed round — exactly Iceberg's append-snapshot model. Deltas
+    # beyond the committed manifest round are orphans from a crashed round;
+    # they are ignored on read and overwritten on replay.
+
+    def _delta_dir(self, name: str, version: int) -> str:
+        return os.path.join(self.root, name, f"delta_v{version:06d}")
+
+    def write_append(self, version: int, name: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self._delta_dir(name, version))
+
+    def read_appends(
+        self, spark: SparkSession, name: str, upto_version: int | None = None
+    ) -> DataFrame:
+        """Union of all committed deltas (≤ manifest round unless told
+        otherwise). Globbing would include orphans — enumerate explicitly."""
+        if upto_version is None:
+            upto_version = self.current_version()
+            if upto_version is None:
+                raise FileNotFoundError("empty snapshot store")
+        paths = [
+            self._delta_dir(name, v)
+            for v in range(upto_version + 1)
+            if os.path.exists(self._delta_dir(name, v))
+        ]
+        if not paths:
+            raise FileNotFoundError(f"no committed deltas for {name}")
+        return spark.read.parquet(*paths)

@@ -8,8 +8,10 @@ from ghcrawler_spark.operators.frontier_ops import (
     attenuate,
     backoff_gate,
     host_topk,
+    scalable_rank,
     tier_quota_select,
     weighted_rotation_order,
+    weighted_rotation_order_scalable,
 )
 
 WEIGHTS = {"soon": 2, "normal": 3, "later": 2}
@@ -50,6 +52,32 @@ def test_rotation_fifo_within_tier(spark):
         by_tier.setdefault(r["tier"], []).append(r["seq"])
     for tier, seqs in by_tier.items():
         assert seqs == sorted(seqs), tier
+
+
+def test_scalable_rank_equals_window(spark):
+    df = _frontier(spark, 500)
+    got = scalable_rank(df, "tier", "seq", "r", buckets=7)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tier").orderBy("seq")
+    exp = df.withColumn("r", F.row_number().over(w).cast("long"))
+    assert sorted(map(tuple, got.select("id", "r").collect())) == sorted(
+        map(tuple, exp.select("id", "r").collect())
+    )
+
+
+def test_scalable_rotation_equals_window(spark):
+    """The closed-form interleave (no global window) must match the window
+    formulation exactly — including tie rows where strides divide evenly."""
+    df = _frontier(spark, 400)
+    a = weighted_rotation_order(df, "tier", ["seq"], WEIGHTS)
+    b = weighted_rotation_order_scalable(df, "tier", "seq", WEIGHTS, buckets=9)
+    cols = ["id", "rank_in_tier", "virtual_time", "pop_seq"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+    pops = sorted(r["pop_seq"] for r in b.collect())
+    assert pops == list(range(1, 401))
 
 
 def test_tier_quota(spark):

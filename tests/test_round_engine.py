@@ -51,12 +51,12 @@ def _engine(spark, fx, root, **cfg_kw):
 def _collect_state(spark, store):
     log = [
         r.asDict()
-        for r in store.read(spark, "order_log")
+        for r in store.read_appends(spark, "order_log")
         .orderBy("seq")
         .select("seq", "round", "pop_seq", "url", "type", "tier", "host", "outcome")
         .collect()
     ]
-    seen = {r.url for r in store.read(spark, "seen").collect()}
+    seen = {r.url for r in store.read_appends(spark, "seen").collect()}
     return log, seen
 
 
@@ -135,14 +135,14 @@ def test_metrics_and_politeness_invariant(spark, fx, tmp_path):
     eng.seed(seeds)
     for _ in range(4):
         eng.run_round()
-    log = store.read(spark, "order_log")
+    log = store.read_appends(spark, "order_log")
     per = (
         log.groupBy("round", "host").count().collect()
     )
     cap = eng.cfg.bucket_capacity
     for r in per:
         assert r["count"] <= cap, (r["round"], r["host"], r["count"])
-    m = {r["round"]: r for r in store.read(spark, "metrics").collect()}
+    m = {r["round"]: r for r in store.read_appends(spark, "metrics").collect()}
     assert set(m) == {1, 2, 3, 4}
     sel_from_log = {r["round"]: 0 for r in per}
     for r in per:

@@ -69,16 +69,16 @@ def main() -> int:
         rounds = eng.run()
 
         log = (
-            store.read(spark, "order_log")
+            store.read_appends(spark, "order_log")
             .orderBy("seq")
             .select("seq", "round", "pop_seq", "url", "type", "tier", "host", "outcome")
             .collect()
         )
         eng_log = [r.asDict() for r in log]
-        eng_seen = {r.url for r in store.read(spark, "seen").collect()}
-        eng_docs = store.read(spark, "docs").collect()
-        eng_dead = {r.url for r in store.read(spark, "deadletter").collect()}
-        eng_excl = {r.url for r in store.read(spark, "excluded").collect()}
+        eng_seen = {r.url for r in store.read_appends(spark, "seen").collect()}
+        eng_docs = store.read_appends(spark, "docs").collect()
+        eng_dead = {r.url for r in store.read_appends(spark, "deadletter").collect()}
+        eng_excl = {r.url for r in store.read_appends(spark, "excluded").collect()}
 
     print(f"engine: {rounds} rounds, {len(eng_log)} pops, {len(eng_seen)} seen, "
           f"{len(eng_docs)} docs, {len(eng_dead)} dead, {len(eng_excl)} excluded")
