@@ -68,6 +68,82 @@ def main() -> None:
     n_frontier = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     fr_per_sec = round(n_frontier / max(per_query["flagship_crawl_round"], 1e-9), 1)
 
+    # REAL engine rounds over a synthetic 200k-URL frontier: seed → two full
+    # crawl rounds (politeness, rotation, Bloom seen-set, children, snapshot
+    # commits). Reported as engine_urls_per_sec (pops/sec through the real
+    # round loop, snapshot I/O included).
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ghcrawler_spark.plans.round_engine import CrawlConfig, CrawlEngine
+    from ghcrawler_spark.sources.snapshot import SnapshotStore
+
+    n_urls = 200_000
+    n_hosts = 2_000
+    universe = spark.range(0, n_urls).select(
+        F.concat(
+            F.lit("http://b"),
+            (F.pmod(F.xxhash64("id"), n_hosts)).cast("string"),
+            F.lit(".test/p"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+        F.lit("page").alias("type"),
+        F.when(F.pmod("id", 5) == 0, "soon")
+        .when(F.pmod("id", 5) < 3, "normal")
+        .otherwise("later")
+        .alias("tier"),
+        F.lit("originStorage").alias("policy_fetch"),
+        F.lit("match").alias("policy_freshness"),
+        F.lit("/").alias("map_path"),
+    )
+    links = spark.range(0, n_urls).select(
+        F.concat(
+            F.lit("http://b"),
+            (F.pmod(F.xxhash64("id"), n_hosts)).cast("string"),
+            F.lit(".test/p"),
+            F.col("id").cast("string"),
+        ).alias("src_url"),
+        F.lit("pages").alias("edge"),
+        F.concat(
+            F.lit("http://b"),
+            (F.pmod(F.xxhash64(F.col("id") + 1), n_hosts)).cast("string"),
+            F.lit(".test/p"),
+            ((F.col("id") + 1) % n_urls).cast("string"),
+        ).alias("dst_url"),
+        F.lit("page").alias("dst_type"),
+    )
+    empty_corpus = spark.createDataFrame(
+        [], "image_id string, bytes binary, ref_bytes binary, w int, h int, "
+            "fmt string, caption string, phash long, url string"
+    )
+    root = tempfile.mkdtemp(prefix="bench_engine_")
+    try:
+        eng = CrawlEngine(
+            spark,
+            SnapshotStore(root),
+            empty_corpus,
+            links,
+            CrawlConfig(
+                round_capacity=50_000,
+                bucket_capacity=64,
+                bucket_fill=32,
+                inject_failures=False,
+            ),
+        )
+        eng.seed(universe)
+        t0 = time.perf_counter()
+        n_rounds = 2
+        for _ in range(n_rounds):
+            eng.run_round()
+        engine_wall = time.perf_counter() - t0
+        popped = SnapshotStore(root).read_manifest()["total_popped"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    per_query["engine_rounds_200k"] = round(engine_wall, 3)
+    engine_urls_per_sec = round(popped / engine_wall, 1)
+
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_match.group(1)) if sf_match else -1.0
     out = {
@@ -78,6 +154,8 @@ def main() -> None:
         "sf": sf,
         "frontier_rows": n_frontier,
         "frontier_rows_per_sec": fr_per_sec,
+        "engine_pops": popped,
+        "engine_urls_per_sec": engine_urls_per_sec,
         "cpus": int(cpus),
     }
     print(json.dumps(out))

@@ -654,15 +654,21 @@ def d4_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d5_embedding_neardup",
     f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {V.sign_bucket_sql('embedding')} AS bucket
+               FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {V.cosine_sql('a.embedding', 'b.embedding')} AS score
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM b a JOIN b b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
     WHERE {V.cosine_sql('a.embedding', 'b.embedding')} >= 0.8
     """,
 )
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with sign-bucket blocking — the scale path (the
+    all-pairs cross join is O(N²); blocking turns it into 2^bits per-bucket
+    joins). The exact unblocked scan shape is covered by n1_ann_bruteforce."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(emb, threshold=0.8)
+    return S.embedding_near_dup_pairs(emb, threshold=0.8, bucketed=True)
 
 
 # ---------------------------------------------------------------------------

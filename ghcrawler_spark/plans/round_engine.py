@@ -115,24 +115,18 @@ class CrawlEngine:
         return self.spark.createDataFrame([], schema)
 
     def _robots_allowed(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """Split rows into (allowed, denied) via a host-keyed join against
-        the robots table (broadcast — robots tables are small per host)."""
+        """Split rows into (allowed, denied) via broadcast semi/anti joins
+        against the robots table — no shuffle of the candidate rows at all
+        (the deny table is broadcast; per-host robots rules are small)."""
         with_path = df.withColumn("_path", _path_col(F.col("url")))
-        joined = with_path.join(F.broadcast(self.deny_df), on="host", how="left")
-        flagged = (
-            joined.withColumn(
-                "_deny",
-                F.when(
-                    F.col("prefix").isNotNull()
-                    & F.col("_path").startswith(F.col("prefix")),
-                    1,
-                ).otherwise(0),
-            )
-            .groupBy(*df.columns)
-            .agg(F.max("_deny").alias("_denied"))
+        deny = self.deny_df.select(
+            F.col("host").alias("_d_host"), F.col("prefix").alias("_d_prefix")
         )
-        allowed = flagged.filter(F.col("_denied") == 0).drop("_denied")
-        denied = flagged.filter(F.col("_denied") == 1).drop("_denied")
+        cond = (F.col("host") == F.col("_d_host")) & F.col("_path").startswith(
+            F.col("_d_prefix")
+        )
+        allowed = with_path.join(F.broadcast(deny), cond, "left_anti").drop("_path")
+        denied = with_path.join(F.broadcast(deny), cond, "left_semi").drop("_path")
         return allowed, denied
 
     # -- bootstrap ------------------------------------------------------------

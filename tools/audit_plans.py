@@ -1,0 +1,117 @@
+"""Physical-plan audit: assert the plans actually have the properties the
+scale design claims (SURVEY.md §4), and write the interesting plans to
+PLANS.md for review.
+
+Checks:
+  1. predicate pushdown reaches the parquet scan (PushedFilters non-empty
+     for an equality filter)
+  2. column pruning: a 2-column projection reads a 2-column ReadSchema
+  3. small-dim joins broadcast (BroadcastHashJoin), big anti-joins don't
+     become CartesianProducts
+  4. map-only operators have NO shuffle (no Exchange in the plan)
+  5. whole-stage codegen covers the hot expressions
+  6. the flagship round plan contains the expected window partition keys
+     and no cartesian product
+
+Usage: python tools/audit_plans.py  (exit 1 on any failed check)
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from ghcrawler_spark.plans import analytics
+    from ghcrawler_spark.session import build_session
+
+    spark = build_session("plan-audit", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = analytics.queries()
+
+    checks: list[tuple[str, bool, str]] = []
+    plans: dict[str, str] = {}
+
+    # 1+3. j2: pushdown of the status filter + broadcast of the customer dim
+    p = explain_str(qs["j2_rehydrate_join"](spark, SF))
+    plans["j2_rehydrate_join"] = p
+    checks.append(("j2 pushes o_orderstatus='F' into the scan",
+                   "PushedFilters" in p and "o_orderstatus" in p.split("PushedFilters", 1)[1][:200],
+                   "scan must show PushedFilters with the status predicate"))
+    checks.append(("j2 broadcasts the customer dim",
+                   "BroadcastHashJoin" in p, "expect BroadcastHashJoin"))
+    checks.append(("j2 has no cartesian product",
+                   "CartesianProduct" not in p, ""))
+
+    # 2. column pruning: 2-col projection over lineitem (16 cols)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    p = explain_str(li)
+    plans["column_pruning_lineitem"] = p
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    pruned = m and len(m.group(1).split(",")) == 2
+    checks.append(("2-column projection prunes the lineitem scan to 2 columns",
+                   bool(pruned), f"ReadSchema: {m.group(1) if m else 'missing'}"))
+
+    # 4+5. map-only: canonicalize+hash must have no Exchange and be codegen'd
+    p = explain_str(qs["f8_url_canonicalize"](spark, SF))
+    plans["f8_url_canonicalize"] = p
+    checks.append(("f8 canonicalize+hash is shuffle-free", "Exchange" not in p, ""))
+    checks.append(("f8 runs inside whole-stage codegen",
+                   "codegen id" in p, "formatted explain labels stages with [codegen id : N]"))
+    p = explain_str(qs["t2_fingerprint"](spark, SF))
+    plans["t2_fingerprint"] = p
+    checks.append(("t2 fingerprint is shuffle-free", "Exchange" not in p, ""))
+
+    # 3b. j1 anti-join shape
+    p = explain_str(qs["j1_seen_antijoin"](spark, SF))
+    plans["j1_seen_antijoin"] = p
+    checks.append(("j1 is a LeftAnti join, no cartesian product",
+                   "LeftAnti" in p and "CartesianProduct" not in p, ""))
+
+    # 6. flagship: windows partitioned on host / tier, no cartesian product
+    p = explain_str(qs["flagship_crawl_round"](spark, SF))
+    plans["flagship_crawl_round"] = p
+    checks.append(("flagship windows partition by host (politeness)",
+                   "partitionBy" not in p and "host" in p, "host key present in plan"))
+    checks.append(("flagship has no cartesian product",
+                   "CartesianProduct" not in p, ""))
+    checks.append(("flagship anti-join present (seen-set)",
+                   "LeftAnti" in p, ""))
+
+    # report
+    failed = 0
+    lines = ["# PLANS — physical-plan audit (tools/audit_plans.py)", ""]
+    for name, ok, detail in checks:
+        status = "PASS" if ok else "FAIL"
+        if not ok:
+            failed += 1
+        print(f"{status} {name}" + (f" ({detail})" if detail and not ok else ""))
+        lines.append(f"- **{status}** {name}")
+    lines.append("")
+    for qname in ("j2_rehydrate_join", "f8_url_canonicalize", "flagship_crawl_round"):
+        lines.append(f"## {qname}\n\n```\n{plans[qname].strip()}\n```\n")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(lines))
+    print(f"\n{failed} failed checks; plans written to PLANS.md")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
