@@ -528,6 +528,40 @@ def x1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "f9_urn_identity",
+    """
+    WITH built AS (
+      SELECT doc_id,
+             ('urn' || ':' || 'src' || ':' || source) || ':' || 'doc' || ':'
+               || CAST(doc_id AS VARCHAR) AS urn
+      FROM documents
+    )
+    SELECT doc_id, urn,
+           string_split(urn, ':')[len(string_split(urn, ':')) - 1] AS urn_type,
+           array_to_string(list_slice(string_split(urn, ':'), 1,
+                           len(string_split(urn, ':')) - 2), ':') AS parent_urn
+    FROM built
+    """,
+)
+def f9_urn_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URN identity chain (lib/request.js:106-117): build the hierarchical
+    doc key from the parent qualifier, then recover type + parent from it."""
+    from ghcrawler_spark.functions.urns import child_urn, root_urn, urn_parent, urn_type
+
+    docs = _t(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        child_urn(root_urn(F.lit("src"), F.col("source")), F.lit("doc"), F.col("doc_id")).alias("urn"),
+    )
+    return built.select(
+        "doc_id",
+        "urn",
+        urn_type("urn").alias("urn_type"),
+        urn_parent("urn").alias("parent_urn"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # D1-D5 — deduplication family (documents)
 # ---------------------------------------------------------------------------

@@ -146,15 +146,20 @@ class CrawlEngine:
             "enqueue_seq", F.row_number().over(w).cast("long")
         ).select("url", "type", "tier", "host", "enqueue_seq", F.col("attempt").cast("int"))
         n_seeded = frontier.count()
-        # full-state tables: rewritten per round
+        # full-state tables: rewritten per round (deadletter is full-state —
+        # it is small by nature and the requeue API rewrites it in place)
         self.store.write_tables(
-            0, {"frontier": frontier, "host_state": self._empty(HOST_STATE_SCHEMA)}
+            0,
+            {
+                "frontier": frontier,
+                "host_state": self._empty(HOST_STATE_SCHEMA),
+                "deadletter": self._empty(DEADLETTER_SCHEMA),
+            },
         )
         # history tables: append-only deltas (Iceberg append-snapshot model)
         self.store.write_append(0, "seen", self._empty(SEEN_SCHEMA))
         self.store.write_append(0, "order_log", self._empty(ORDER_LOG_SCHEMA))
         self.store.write_append(0, "docs", self._empty(DOCS_SCHEMA))
-        self.store.write_append(0, "deadletter", self._empty(DEADLETTER_SCHEMA))
         self.store.write_append(
             0, "excluded", denied.select("url", F.lit(0).alias("round"))
         )
@@ -414,26 +419,29 @@ class CrawlEngine:
             METRICS_SCHEMA,
         )
 
+        deadletter_prev = self.store.read(self.spark, "deadletter", version)
+        deadletter_next = deadletter_prev.unionByName(
+            dead.select(
+                "url",
+                "type",
+                "tier",
+                F.lit(rnd).alias("round"),
+                "attempt",
+                F.lit("max_attempts").alias("reason"),
+            )
+        )
         self.store.write_tables(
-            rnd, {"frontier": frontier_next, "host_state": levels_next}
+            rnd,
+            {
+                "frontier": frontier_next,
+                "host_state": levels_next,
+                "deadletter": deadletter_next,
+            },
         )
         self.store.write_append(rnd, "seen", newly_seen)
         self.store.write_append(rnd, "order_log", log_rows)
         if hist.get("Processed", 0) > 0:
             self.store.write_append(rnd, "docs", docs_new)
-        if n_dead > 0:
-            self.store.write_append(
-                rnd,
-                "deadletter",
-                dead.select(
-                    "url",
-                    "type",
-                    "tier",
-                    F.lit(rnd).alias("round"),
-                    "attempt",
-                    F.lit("max_attempts").alias("reason"),
-                ),
-            )
         self.store.write_append(
             rnd, "excluded", fresh_denied.select("url", F.lit(rnd).alias("round"))
         )
@@ -451,6 +459,58 @@ class CrawlEngine:
         new_rows.unpersist()
         fresh.unpersist()
         return True
+
+    def requeue_deadletters(self, url_filter: str | None = None) -> int:
+        """Deadletter requeue API (lib/crawlerService.js:119-130 analog):
+        move deadletters (optionally only urls rlike ``url_filter``) back
+        into the frontier with attempt=0 at the tail, and clear them from
+        the deadletter table. Committed as its own snapshot round."""
+        manifest = self.store.read_manifest()
+        version = manifest["current"]
+        rnd = manifest["round"] + 1
+        next_seq = manifest["next_seq"]
+
+        dead = self.store.read(self.spark, "deadletter", version)
+        if url_filter is not None:
+            to_requeue = dead.filter(F.col("url").rlike(url_filter))
+            keep = dead.filter(~F.col("url").rlike(url_filter))
+        else:
+            to_requeue, keep = dead, dead.limit(0)
+        frontier = self.store.read(self.spark, "frontier", version)
+
+        w = Window.orderBy("url")
+        revived = to_requeue.select(
+            "url",
+            "type",
+            "tier",
+            F.col("url").alias("_h"),
+        ).withColumn("host", extract_host(F.col("_h"))).drop("_h").withColumn(
+            "enqueue_seq", F.lit(next_seq) + F.row_number().over(w)
+        ).withColumn("attempt", F.lit(0).cast("int")).select(
+            "url", "type", "tier", "host", "enqueue_seq", "attempt"
+        )
+        n_revived = revived.count()
+        if n_revived == 0:
+            return 0
+
+        self.store.write_tables(
+            rnd,
+            {
+                "frontier": frontier.unionByName(revived),
+                "host_state": self.store.read(self.spark, "host_state", version),
+                "deadletter": keep,
+            },
+        )
+        self.store.commit(
+            rnd,
+            {
+                "next_seq": next_seq + n_revived,
+                "total_popped": manifest["total_popped"],
+                "round": rnd,
+                "frontier_size": manifest["frontier_size"] + n_revived,
+            },
+        )
+        return n_revived
 
     def run(self) -> int:
         """Run rounds until the frontier drains; returns rounds executed."""
