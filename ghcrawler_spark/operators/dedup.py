@@ -154,6 +154,60 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (id, cluster_id) where
+    cluster_id = the smallest id reachable through dup edges (singletons map
+    to themselves). This is the step after pair generation in every dedup
+    pipeline — keep one representative per CLUSTER, not per pair.
+
+    Iterative min-label propagation: label(x) ← min(label(x),
+    min(label(neighbor))); converges in O(component diameter) rounds. Each
+    round is one shuffle join + groupBy — the standard large-scale CC
+    pattern (a full large-star/small-star is only needed for huge diameters,
+    which near-dup graphs don't have). Frames are persisted per round and
+    the loop stops at fixed point.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .unionByName(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("cluster_id")
+    ).persist()
+    for _ in range(max_iterations):
+        # localCheckpoint (not persist): iterative plans nest one level per
+        # round — without truncation the lineage grows past analyzable size
+        # (and OOMs the driver) after ~10 rounds
+        propagated = (
+            labels.join(edges, labels.id == edges.s)
+            .select(F.col("d").alias("id"), "cluster_id")
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            propagated.join(labels.withColumnRenamed("cluster_id", "_old"), "id")
+            .filter(F.col("cluster_id") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = propagated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), "cluster_id")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc, simhash): per-bit majority vote over distinct-token hashes.
 

@@ -705,6 +705,35 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb, threshold=0.8, bucketed=True)
 
 
+@register(
+    "d6_dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_JACCARD_PAIRS_SQL}) WHERE jaccard >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (keep one doc per CLUSTER).
+    Oracle: transitive closure via recursive CTE; engine: iterative
+    min-label propagation (operators/dedup.connected_components)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    out = D.connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    return out.select("doc_id", "cluster_id")
+
+
 # ---------------------------------------------------------------------------
 # N1/N2 — similarity search (embeddings)
 # ---------------------------------------------------------------------------

@@ -60,6 +60,11 @@ METRICS_SCHEMA = (
     "round int, selected long, children long, requeued long, deadlettered long, "
     "frontier_after long"
 )
+LINEAGE_SCHEMA = (
+    "round int, tier string, host_bucket int, n_popped long, n_processed long, "
+    "n_traversed long, n_requeued long, n_missing long"
+)
+LINEAGE_BUCKETS = 32
 
 
 @dataclass
@@ -160,6 +165,7 @@ class CrawlEngine:
         self.store.write_append(0, "seen", self._empty(SEEN_SCHEMA))
         self.store.write_append(0, "order_log", self._empty(ORDER_LOG_SCHEMA))
         self.store.write_append(0, "docs", self._empty(DOCS_SCHEMA))
+        self.store.write_append(0, "lineage", self._empty(LINEAGE_SCHEMA))
         self.store.write_append(
             0, "excluded", denied.select("url", F.lit(0).alias("round"))
         )
@@ -440,6 +446,35 @@ class CrawlEngine:
         )
         self.store.write_append(rnd, "seen", newly_seen)
         self.store.write_append(rnd, "order_log", log_rows)
+        # per-partition lineage (north_rule): which (tier, host-bucket)
+        # partition produced what this round — the audit trail that lets a
+        # resumed run prove each partition was applied exactly once
+        lineage = (
+            fetched.groupBy(
+                "tier",
+                F.pmod(F.xxhash64("host"), F.lit(LINEAGE_BUCKETS))
+                .cast("int")
+                .alias("host_bucket"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_popped"),
+                F.sum((F.col("outcome") == "Processed").cast("long")).alias("n_processed"),
+                F.sum((F.col("outcome") == "Traversed").cast("long")).alias("n_traversed"),
+                F.sum((F.col("outcome") == "Requeued").cast("long")).alias("n_requeued"),
+                F.sum((F.col("outcome") == "Missing").cast("long")).alias("n_missing"),
+            )
+            .select(
+                F.lit(rnd).alias("round"),
+                "tier",
+                "host_bucket",
+                "n_popped",
+                "n_processed",
+                "n_traversed",
+                "n_requeued",
+                "n_missing",
+            )
+        )
+        self.store.write_append(rnd, "lineage", lineage)
         if hist.get("Processed", 0) > 0:
             self.store.write_append(rnd, "docs", docs_new)
         self.store.write_append(

@@ -57,6 +57,28 @@ def test_minhash_lsh_subset_of_exact_and_catches_identicals(spark):
     assert lsh <= exact                        # verification removes FPs
 
 
+def test_connected_components(spark):
+    """Chain 1-2, 2-3 plus isolated pair 5-6 and singleton 4: components
+    must be {1,2,3}->1, {5,6}->5, {4}->4 (min-id label)."""
+    from ghcrawler_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    got = {r["doc"]: r["cluster_id"] for r in connected_components(pairs, ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path graph needs multiple propagation rounds."""
+    from ghcrawler_spark.operators.dedup import connected_components
+
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    got = {r["doc"]: r["cluster_id"] for r in connected_components(pairs, ids).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_simhash_identical_docs_equal_sig(spark):
     sigs = {r["doc"]: r["simhash"] for r in simhash(_docs(spark), "doc_id", "text").collect()}
     assert sigs[1] == sigs[2]
