@@ -210,6 +210,43 @@ def host_topk(
     return ranked.filter(F.col(rank_name) <= F.lit(k))
 
 
+def salted_repartition(
+    df: DataFrame,
+    host_col: str,
+    num_partitions: int,
+    hot_threshold: int = 100_000,
+    salt_factor: int = 16,
+) -> DataFrame:
+    """Kill hot-host skew before a host-keyed stage (north_star: "salted
+    repartitioning by host-hash"): hosts whose row count exceeds
+    ``hot_threshold`` get a rotating salt over ``salt_factor`` subpartitions;
+    everyone else keeps salt 0, so only genuinely hot keys pay the spread.
+    Downstream per-host aggregates must re-aggregate across salts (two-phase
+    agg); per-host WINDOWS that need global host order should instead rely
+    on AQE skew handling or bounded budgets (host_topk caps hot hosts by
+    construction, so its window state stays small).
+
+    One counting pass finds the hot keys (broadcast — there are few by
+    definition), then a single repartition on (host, salt).
+    """
+    hot = (
+        df.groupBy(host_col)
+        .count()
+        .filter(F.col("count") > hot_threshold)
+        .select(F.col(host_col).alias("_hot_host"))
+    )
+    salted = df.join(
+        F.broadcast(hot), df[host_col] == F.col("_hot_host"), "left"
+    ).withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot_host").isNotNull(),
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_factor)),
+        ).otherwise(F.lit(0)).cast("int"),
+    ).drop("_hot_host")
+    return salted.repartition(num_partitions, F.col(host_col), F.col("_salt"))
+
+
 def backoff_gate(
     df: DataFrame,
     now: Column,

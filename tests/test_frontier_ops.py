@@ -103,6 +103,33 @@ def test_host_topk_budget_col(spark):
     assert kept_h1 == all_h1[:3]
 
 
+def test_salted_repartition_spreads_hot_host(spark):
+    """A host holding 80% of rows must land in >1 partition after salting;
+    cold hosts keep salt 0; no rows lost."""
+    from pyspark.sql import functions as F
+
+    from ghcrawler_spark.operators.frontier_ops import salted_repartition
+
+    rows = [(i, "hot.test") for i in range(8000)] + [
+        (100_000 + i, f"cold{i % 20}.test") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["seq", "host"])
+    out = salted_repartition(df, "host", num_partitions=16, hot_threshold=1000)
+    assert out.count() == 10_000
+    salts = {r["_salt"] for r in out.filter(F.col("host") == "hot.test").select("_salt").distinct().collect()}
+    assert len(salts) > 1
+    cold_salts = {r["_salt"] for r in out.filter(F.col("host") != "hot.test").select("_salt").distinct().collect()}
+    assert cold_salts == {0}
+    # hot host occupies multiple physical partitions post-exchange
+    hot_parts = (
+        out.filter(F.col("host") == "hot.test")
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert hot_parts > 1
+
+
 def test_attenuate_first_wins(spark):
     rows = [(1, "k1", 10), (2, "k1", 5), (3, "k2", 1), (4, "k2", 2)]
     df = spark.createDataFrame(rows, ["id", "key", "ord"])
