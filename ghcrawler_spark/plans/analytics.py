@@ -617,13 +617,16 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(num_hashes: int = D.MINHASH_FUNCS, bands: int = D.MINHASH_BANDS) -> str:
-    from ghcrawler_spark.hashing import stable_long_hash_seeded_sql
+    from ghcrawler_spark.hashing import minhash_base_sql, minhash_member_sql
 
     mins = ", ".join(
-        f"CAST(min({stable_long_hash_seeded_sql('shingle', i)}) AS BIGINT) AS mh_{i}"
+        f"CAST(min({minhash_member_sql('h', i)}) AS BIGINT) AS mh_{i}"
         for i in range(num_hashes)
     )
-    return f"SELECT doc, {mins} FROM ({_DOC_SHINGLES_SQL}) GROUP BY doc"
+    base = (
+        f"SELECT doc, {minhash_base_sql('shingle')} AS h FROM ({_DOC_SHINGLES_SQL})"
+    )
+    return f"SELECT doc, {mins} FROM ({base}) GROUP BY doc"
 
 
 def _minhash_bands_sql(num_hashes: int = D.MINHASH_FUNCS, bands: int = D.MINHASH_BANDS) -> str:

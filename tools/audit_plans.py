@@ -85,6 +85,16 @@ def main() -> int:
     checks.append(("j1 is a LeftAnti join, no cartesian product",
                    "LeftAnti" in p and "CartesianProduct" not in p, ""))
 
+    # 3c. d3: verify must be candidates-only — the all-pairs shingle
+    # self-join shows up as a join keyed on the shingle ALONE; the fixed plan
+    # only joins shingle together with a doc id (keys [2])
+    p = explain_str(qs["d3_minhash_lsh"](spark, SF))
+    plans["d3_minhash_lsh"] = p
+    solo_shingle = re.search(r"keys \[1\]: \[shingle#\d+", p)
+    checks.append(("d3 has no full pairs-table join (no single-key shingle self-join)",
+                   solo_shingle is None,
+                   "found a join keyed on shingle alone — that's the all-pairs blow-up"))
+
     # 6. flagship: windows partitioned on host / tier, no cartesian product
     p = explain_str(qs["flagship_crawl_round"](spark, SF))
     plans["flagship_crawl_round"] = p
