@@ -68,7 +68,7 @@ def main() -> None:
     n_frontier = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     fr_per_sec = round(n_frontier / max(per_query["flagship_crawl_round"], 1e-9), 1)
 
-    # REAL engine rounds over a synthetic 200k-URL frontier: seed → two full
+    # REAL engine rounds over a synthetic 1M-URL frontier: seed → two full
     # crawl rounds (politeness, rotation, Bloom seen-set, children, snapshot
     # commits). Reported as engine_urls_per_sec (pops/sec through the real
     # round loop, snapshot I/O included).
@@ -80,8 +80,8 @@ def main() -> None:
     from ghcrawler_spark.plans.round_engine import CrawlConfig, CrawlEngine
     from ghcrawler_spark.sources.snapshot import SnapshotStore
 
-    n_urls = 200_000
-    n_hosts = 2_000
+    n_urls = 1_000_000
+    n_hosts = 10_000
     universe = spark.range(0, n_urls).select(
         F.concat(
             F.lit("http://b"),
@@ -126,9 +126,9 @@ def main() -> None:
             empty_corpus,
             links,
             CrawlConfig(
-                round_capacity=50_000,
-                bucket_capacity=64,
-                bucket_fill=32,
+                round_capacity=250_000,
+                bucket_capacity=128,
+                bucket_fill=64,
                 inject_failures=False,
             ),
         )
@@ -141,7 +141,7 @@ def main() -> None:
         popped = SnapshotStore(root).read_manifest()["total_popped"]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    per_query["engine_rounds_200k"] = round(engine_wall, 3)
+    per_query["engine_rounds_1m"] = round(engine_wall, 3)
     engine_urls_per_sec = round(popped / engine_wall, 1)
 
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)

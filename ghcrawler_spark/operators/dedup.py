@@ -199,6 +199,16 @@ def minhash_lsh_pairs(
     )
 
 
+def _free_frame(df: DataFrame) -> None:
+    """Release a superseded iteration frame: cache-manager entry if cached,
+    plus the internal RDD blocks when the frame is a localCheckpoint."""
+    df.unpersist()
+    try:
+        df._jdf.queryExecution().toRdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: block GC will reclaim eventually
+
+
 def connected_components(
     pairs: DataFrame,
     ids: DataFrame,
@@ -246,10 +256,17 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the superseded label frame's blocks are dead once `changed` is
+        # computed — free them instead of leaking one frame per iteration
+        # (localCheckpoint frames are not in the cache manager, so also
+        # unpersist the underlying checkpointed RDD)
+        _free_frame(labels)
         labels = propagated
         if changed == 0:
             break
     edges.unpersist()
+    # NOTE: the returned frame is the final localCheckpoint — its blocks stay
+    # live until the caller drops the DataFrame (it IS the result).
     return labels.select(F.col("id").alias(id_col), "cluster_id")
 
 

@@ -63,6 +63,54 @@ def weighted_rotation_order(
     return out.withColumn("pop_seq", F.row_number().over(pop_w))
 
 
+def scalable_rank_by_key(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rank",
+    buckets: int = 64,
+    persisted: list | None = None,
+) -> DataFrame:
+    """Distributed global 1..n rank over an arbitrary (orderable, unique) key
+    — the scale-safe replacement for ``row_number().over(Window.orderBy(k))``
+    which sorts the ENTIRE frame in one task.
+
+    Range-repartition by the key (order-preserving ACROSS partitions: every
+    row of partition i sorts before every row of partition i+1), count rows
+    per partition (a tiny collect), then rank = prefix offset + partition-
+    local row_number. The range boundaries come from Spark's sampler — they
+    are fixed on the driver before tasks run, so retries see the same
+    assignment, and the final rank is independent of where the boundaries
+    fall.
+
+    The input is persisted (three passes: repartition, counts, ranked
+    output); pass ``persisted`` to collect the handle for caller-side
+    unpersist after the output is materialized.
+    """
+    part = df.repartitionByRange(buckets, *[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    part = part.persist()
+    if persisted is not None:
+        persisted.append(part)
+    counts = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, running = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, running))
+        running += counts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.row_number().over(w)).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
 def scalable_rank(
     df: DataFrame,
     group_col: str,
@@ -70,6 +118,7 @@ def scalable_rank(
     out_col: str = "rank_in_group",
     buckets: int = 64,
     bounds: tuple[int, int] | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Distributed 1..n ranking within each group by a numeric order column —
     the scale-safe replacement for ``row_number().over(partitionBy(group))``
@@ -81,17 +130,39 @@ def scalable_rank(
     rank = prefix-offset(bucket, group) + row_number within (bucket, group).
     Deterministic for unique order_col values.
     """
+    out, _ = scalable_rank_with_totals(
+        df, group_col, order_col, out_col, buckets, bounds, persisted
+    )
+    return out
+
+
+def scalable_rank_with_totals(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    out_col: str = "rank_in_group",
+    buckets: int = 64,
+    bounds: tuple[int, int] | None = None,
+    persisted: list | None = None,
+) -> tuple[DataFrame, dict]:
+    """scalable_rank + the per-group row totals it already counted — callers
+    that need group sizes (the closed-form rotation) get them for free
+    instead of launching another aggregation job."""
     # persist: this operator drives up to three actions over its input
     # (min/max unless bounds given, bucket counts, the ranked output) —
     # without caching, an expensive upstream (politeness window over the
-    # whole frontier) would run that many times
+    # whole frontier) would run that many times. Callers pass ``persisted``
+    # to unpersist after materializing the output (long engine runs would
+    # otherwise accumulate one cached frame per round).
     df = df.persist()
+    if persisted is not None:
+        persisted.append(df)
     if bounds is not None:
         mn, mx = bounds  # caller knows the order-key range → one less pass
     else:
         mn, mx = df.agg(F.min(order_col), F.max(order_col)).first()
     if mn is None:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
+        return df.withColumn(out_col, F.lit(None).cast("long")), {}
     width = max(1, (int(mx) - int(mn) + buckets) // buckets)
     bucket = F.floor((F.col(order_col) - F.lit(int(mn))) / F.lit(width))
     with_b = df.withColumn("_bkt", bucket.cast("long"))
@@ -112,11 +183,13 @@ def scalable_rank(
         offsets, f"_bkt long, {group_col} string, _off long"
     )
     w = Window.partitionBy("_bkt", group_col).orderBy(order_col)
-    return (
+    ranked = (
         with_b.join(F.broadcast(off_df), ["_bkt", group_col])
         .withColumn(out_col, (F.col("_off") + F.row_number().over(w)).cast("long"))
         .drop("_bkt", "_off")
     )
+    totals = {g: sum(b.values()) for g, b in by_group.items()}
+    return ranked, totals
 
 
 def weighted_rotation_order_scalable(
@@ -126,6 +199,7 @@ def weighted_rotation_order_scalable(
     weights: dict[str, int],
     buckets: int = 64,
     bounds: tuple[int, int] | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Same result as ``weighted_rotation_order`` (pinned by tests) with NO
     global or per-tier single-partition window.
@@ -137,12 +211,10 @@ def weighted_rotation_order_scalable(
     vt exactly and t' sorts before t. No shuffle beyond the rank's
     (bucket × tier) exchange; the interleave itself is arithmetic.
     """
-    ranked = scalable_rank(df, tier_col, order_col, "rank_in_tier", buckets, bounds)
-    # per-tier totals (reuses nothing big — one tiny agg)
-    tier_counts = {
-        r[tier_col]: r["n"]
-        for r in ranked.groupBy(tier_col).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # per-tier totals come from the rank's own bucket counts — no extra job
+    ranked, tier_counts = scalable_rank_with_totals(
+        df, tier_col, order_col, "rank_in_tier", buckets, bounds, persisted
+    )
     strides = {t: WEIGHT_SCALE // w for t, w in weights.items()}
     vt = F.lit(None).cast("long")
     for t, s in strides.items():
@@ -216,6 +288,7 @@ def salted_repartition(
     num_partitions: int,
     hot_threshold: int = 100_000,
     salt_factor: int = 16,
+    salt_col: str = "url",
 ) -> DataFrame:
     """Kill hot-host skew before a host-keyed stage (north_star: "salted
     repartitioning by host-hash"): hosts whose row count exceeds
@@ -228,6 +301,11 @@ def salted_repartition(
 
     One counting pass finds the hot keys (broadcast — there are few by
     definition), then a single repartition on (host, salt).
+
+    The salt is a DETERMINISTIC function of (host, salt_col): a
+    nondeterministic salt (e.g. over monotonically_increasing_id) would
+    re-salt differently when a task retry or AQE re-plan recomputes the
+    partitioning, duplicating/dropping rows downstream.
     """
     hot = (
         df.groupBy(host_col)
@@ -241,7 +319,7 @@ def salted_repartition(
         "_salt",
         F.when(
             F.col("_hot_host").isNotNull(),
-            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_factor)),
+            F.pmod(F.xxhash64(F.col(host_col), F.col(salt_col)), F.lit(salt_factor)),
         ).otherwise(F.lit(0)).cast("int"),
     ).drop("_hot_host")
     return salted.repartition(num_partitions, F.col(host_col), F.col("_salt"))

@@ -13,10 +13,13 @@ queued?") and the storage etag probe (providers/fetcher/githubFetcher.js:28,
 
 Properties (tests/test_seen.py): NO false negatives (a seen URL always probes
 positive → never re-crawled twice after confirm), bounded false positives
-(~fpr → tiny extra anti-join input). At 10^10 URLs: 1% FPR needs ~9.6
-bits/key ≈ 12 GB total — sharded into ~1024 shards of ~12 MB, each executor
-probes only the shards its partition routes to; the exact confirm join stays
-tiny because it only sees probe-positives.
+(~fpr → tiny extra anti-join input). The probe broadcasts the WHOLE shard
+dict (one broadcast per set, reused across probes, freed via destroy()) —
+fine up to a few GB of filter. At the full 10^10-URL scale (1% FPR ≈ 9.6
+bits/key ≈ 12 GB) the broadcast must be replaced by shard-local probing:
+repartition candidates by pmod(url_hash, num_shards) and map each partition
+against only its own shard blob (the SHARD_SCHEMA table, partitioned the
+same way) — same math, no single-node copy of all shards.
 
 The filter math is the standard double-hashing Bloom construction
 (pos_i = h1 + i*h2 mod m) over splitmix64-mixed key halves.
@@ -93,12 +96,62 @@ def optimal_params(n_keys: int, fpr: float) -> tuple[int, int]:
     return m, min(k, 16)
 
 
+def _build_shard_blobs(
+    keys_df: DataFrame, key_col: str, num_shards: int, m: int, k: int
+) -> dict[int, tuple[bytes, int]]:
+    """shard_id → (filter_bytes, n_keys), built executor-side (one numpy pass
+    per shard group); only the blobs come back to the driver, never keys."""
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["_key"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["_shard"].iloc[0])],
+                "filter_bytes": [_build_filter(keys, m, k)],
+                "n_keys": [len(keys)],
+                "m_bits": [m],
+                "k_funcs": [k],
+            }
+        )
+
+    shards_df = (
+        keys_df.select(
+            F.col(key_col).cast("long").alias("_key"),
+            F.pmod(F.col(key_col).cast("long"), F.lit(num_shards)).alias("_shard"),
+        )
+        .groupBy("_shard")
+        .applyInPandas(build_shard, SHARD_SCHEMA)
+    )
+    return {
+        row["shard_id"]: (bytes(row["filter_bytes"]), row["n_keys"])
+        for row in shards_df.collect()
+    }
+
+
 @dataclass
 class BloomShardSet:
-    """Broadcastable handle: shard_id → (filter_bytes, m, k)."""
+    """Broadcastable handle: shard_id → (filter_bytes, m, k).
+
+    One Spark broadcast is created lazily on first probe and REUSED for every
+    subsequent probe of this instance; call :meth:`destroy` when the set is
+    superseded (e.g. at the end of a crawl round) — otherwise a long run
+    accumulates one executor-resident broadcast per round.
+
+    All shards share one (m_bits, k_funcs) sizing, which makes the set
+    INCREMENTAL: Bloom union is bitwise OR, so :meth:`merged` folds a batch
+    of new keys in by building same-sized delta filters and OR-ing blobs —
+    O(batch) instead of the O(total-seen) full rebuild per round. ``n_keys``
+    tracks inserts per shard so callers can detect capacity overflow
+    (FPR decay) and trigger an amortized full rebuild at a larger size.
+    """
 
     num_shards: int
     shards: dict[int, tuple[bytes, int, int]]
+    m_bits: int = 0
+    k_funcs: int = 0
+    capacity_per_shard: int = 0
+    n_keys: dict[int, int] | None = None
+    _bc: object | None = None
 
     @staticmethod
     def build(
@@ -114,39 +167,107 @@ class BloomShardSet:
             total = keys_df.count()
             expected_per_shard = max(64, total // max(num_shards, 1) + 1)
         m, k = optimal_params(expected_per_shard, fpr)
-
-        def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            keys = pdf["_key"].to_numpy(dtype=np.int64)
-            return pd.DataFrame(
-                {
-                    "shard_id": [int(pdf["_shard"].iloc[0])],
-                    "filter_bytes": [_build_filter(keys, m, k)],
-                    "n_keys": [len(keys)],
-                    "m_bits": [m],
-                    "k_funcs": [k],
-                }
-            )
-
-        shards_df = (
-            keys_df.select(
-                F.col(key_col).cast("long").alias("_key"),
-                F.pmod(F.col(key_col).cast("long"), F.lit(num_shards)).alias("_shard"),
-            )
-            .groupBy("_shard")
-            .applyInPandas(build_shard, SHARD_SCHEMA)
+        blobs = _build_shard_blobs(keys_df, key_col, num_shards, m, k)
+        return BloomShardSet(
+            num_shards=num_shards,
+            shards={sid: (blob, m, k) for sid, (blob, n) in blobs.items()},
+            m_bits=m,
+            k_funcs=k,
+            capacity_per_shard=expected_per_shard,
+            n_keys={sid: n for sid, (blob, n) in blobs.items()},
         )
-        shards = {
-            row["shard_id"]: (bytes(row["filter_bytes"]), row["m_bits"], row["k_funcs"])
-            for row in shards_df.collect()
-        }
-        return BloomShardSet(num_shards=num_shards, shards=shards)
+
+    @staticmethod
+    def empty(
+        num_shards: int = 16, expected_per_shard: int = 4096, fpr: float = 0.01
+    ) -> "BloomShardSet":
+        m, k = optimal_params(expected_per_shard, fpr)
+        return BloomShardSet(
+            num_shards=num_shards,
+            shards={},
+            m_bits=m,
+            k_funcs=k,
+            capacity_per_shard=expected_per_shard,
+            n_keys={},
+        )
+
+    def merged(self, keys_df: DataFrame, key_col: str = "url_hash") -> "BloomShardSet":
+        """New set = self OR the given keys (same sizing). Cost is one pass
+        over the BATCH, never the historical key set. The old instance keeps
+        its broadcast — destroy() it when no in-flight plan references it."""
+        blobs = _build_shard_blobs(keys_df, key_col, self.num_shards, self.m_bits, self.k_funcs)
+        shards = dict(self.shards)
+        counts = dict(self.n_keys or {})
+        for sid, (blob, n) in blobs.items():
+            if sid in shards:
+                old = np.frombuffer(shards[sid][0], dtype=np.uint8)
+                new = np.frombuffer(blob, dtype=np.uint8)
+                shards[sid] = ((old | new).tobytes(), self.m_bits, self.k_funcs)
+            else:
+                shards[sid] = (blob, self.m_bits, self.k_funcs)
+            counts[sid] = counts.get(sid, 0) + n
+        return BloomShardSet(
+            num_shards=self.num_shards,
+            shards=shards,
+            m_bits=self.m_bits,
+            k_funcs=self.k_funcs,
+            capacity_per_shard=self.capacity_per_shard,
+            n_keys=counts,
+        )
+
+    def total_keys(self) -> int:
+        return sum((self.n_keys or {}).values())
+
+    def overflowed(self, headroom: float = 2.0) -> bool:
+        """True when inserts exceed the design capacity by ``headroom``×
+        (FPR has decayed past spec → rebuild bigger). Counts are upper
+        bounds (re-inserts counted), so this triggers early, never late."""
+        if not self.shards or self.capacity_per_shard <= 0:
+            return False
+        return max((self.n_keys or {}).values(), default=0) > headroom * self.capacity_per_shard
+
+    def to_rows(self) -> list[tuple]:
+        """Rows in SHARD_SCHEMA order for persistence in a snapshot store."""
+        return [
+            (sid, blob, (self.n_keys or {}).get(sid, 0), m, k)
+            for sid, (blob, m, k) in sorted(self.shards.items())
+        ]
+
+    @staticmethod
+    def from_rows(
+        rows, num_shards: int, m_bits: int, k_funcs: int, capacity_per_shard: int
+    ) -> "BloomShardSet":
+        shards = {}
+        counts = {}
+        for r in rows:
+            shards[r["shard_id"]] = (bytes(r["filter_bytes"]), r["m_bits"], r["k_funcs"])
+            counts[r["shard_id"]] = r["n_keys"]
+        return BloomShardSet(
+            num_shards=num_shards,
+            shards=shards,
+            m_bits=m_bits,
+            k_funcs=k_funcs,
+            capacity_per_shard=capacity_per_shard,
+            n_keys=counts,
+        )
+
+    def destroy(self) -> None:
+        """Release the executor-side broadcast blocks (idempotent)."""
+        if self._bc is not None:
+            try:
+                self._bc.destroy()
+            except Exception:
+                pass
+            self._bc = None
 
     def probe(
         self, df: DataFrame, key_col: str = "url_hash", out_col: str = "maybe_seen"
     ) -> DataFrame:
         """Vectorized membership probe; out_col=False ⇒ definitely unseen."""
-        spark = SparkSession.getActiveSession()
-        bc = spark.sparkContext.broadcast(self.shards)
+        if self._bc is None:
+            spark = SparkSession.getActiveSession()
+            self._bc = spark.sparkContext.broadcast(self.shards)
+        bc = self._bc
         num_shards = self.num_shards
 
         @F.pandas_udf(BooleanType())
@@ -172,6 +293,7 @@ def filter_unseen(
     seen_keys: DataFrame,
     bloom: BloomShardSet | None,
     key_col: str = "url_hash",
+    persisted: list | None = None,
 ) -> DataFrame:
     """Bloom-pushdown unseen filter: definite-unseen rows pass for free; only
     probe-positives (true dups + ~fpr false positives) hit the exact
@@ -181,8 +303,11 @@ def filter_unseen(
             seen_keys.select(key_col).distinct(), on=key_col, how="left_anti"
         )
     # persist: both union branches below scan the probe output — without it
-    # the candidate pipeline (and the Arrow probe) would execute twice
+    # the candidate pipeline (and the Arrow probe) would execute twice;
+    # callers pass ``persisted`` to unpersist after materialization
     probed = bloom.probe(candidates, key_col=key_col).persist()
+    if persisted is not None:
+        persisted.append(probed)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = suspects.join(

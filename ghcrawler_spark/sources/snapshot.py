@@ -102,19 +102,70 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(self._delta_dir(name, version))
 
     def read_appends(
-        self, spark: SparkSession, name: str, upto_version: int | None = None
+        self,
+        spark: SparkSession,
+        name: str,
+        upto_version: int | None = None,
+        from_version: int = 0,
     ) -> DataFrame:
-        """Union of all committed deltas (≤ manifest round unless told
-        otherwise). Globbing would include orphans — enumerate explicitly."""
+        """Union of all committed deltas in [from_version, upto_version]
+        (≤ manifest round unless told otherwise). Globbing would include
+        orphans — enumerate explicitly."""
         if upto_version is None:
             upto_version = self.current_version()
             if upto_version is None:
                 raise FileNotFoundError("empty snapshot store")
         paths = [
             self._delta_dir(name, v)
-            for v in range(upto_version + 1)
+            for v in range(from_version, upto_version + 1)
             if os.path.exists(self._delta_dir(name, v))
         ]
         if not paths:
             raise FileNotFoundError(f"no committed deltas for {name}")
         return spark.read.parquet(*paths)
+
+    # -- merge-on-read tables ---------------------------------------------------
+    #
+    # The frontier (and the seen set past its compaction point) follow the
+    # Iceberg merge-on-read model: a BASE table (written at seed and at every
+    # compaction, under v{NNNN}/<name>/) plus per-round APPEND deltas
+    # (`<name>_adds/delta_v*`) and EQUALITY-DELETE deltas
+    # (`<name>_removes/delta_v*`, keyed on a unique row id). A reader merges
+    # base ∪ adds(>base) minus removes(>base). Per-round I/O is therefore
+    # O(rows touched this round), not O(frontier); compaction every K rounds
+    # bounds the number of delta dirs a read has to union AND the size of the
+    # delete-key anti-join. The manifest's `bases` dict records which version
+    # holds each table's current base — commit of that pointer is what makes
+    # a compaction (or the seed) visible, so a crash mid-compaction leaves
+    # readers on the previous base (orphan dirs are ignored and overwritten
+    # on replay, same as every other write here).
+
+    def read_merged(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int,
+        base_version: int,
+        key_col: str | None = None,
+    ) -> DataFrame:
+        """base(base_version) ∪ adds in (base_version, version], minus
+        removes in the same range when ``key_col`` is given."""
+        out = self.read(spark, name, base_version)
+        try:
+            adds = self.read_appends(
+                spark, f"{name}_adds", version, from_version=base_version + 1
+            )
+            out = out.unionByName(adds)
+        except FileNotFoundError:
+            pass
+        if key_col is not None:
+            try:
+                removes = self.read_appends(
+                    spark, f"{name}_removes", version, from_version=base_version + 1
+                )
+                out = out.join(
+                    removes.select(key_col).distinct(), key_col, "left_anti"
+                )
+            except FileNotFoundError:
+                pass
+        return out

@@ -114,7 +114,7 @@ def test_salted_repartition_spreads_hot_host(spark):
         (100_000 + i, f"cold{i % 20}.test") for i in range(2000)
     ]
     df = spark.createDataFrame(rows, ["seq", "host"])
-    out = salted_repartition(df, "host", num_partitions=16, hot_threshold=1000)
+    out = salted_repartition(df, "host", num_partitions=16, hot_threshold=1000, salt_col="seq")
     assert out.count() == 10_000
     salts = {r["_salt"] for r in out.filter(F.col("host") == "hot.test").select("_salt").distinct().collect()}
     assert len(salts) > 1
@@ -146,3 +146,45 @@ def test_backoff_gate_taxonomy(spark):
     out = backoff_gate(df, F.lit("2024-01-01 00:00:00").cast("timestamp"))
     got = {r["id"]: r["gate_status"] for r in out.collect()}
     assert got == {1: "eligible", 2: "deadletter", 3: "deferred"}
+
+
+def test_salted_repartition_salt_is_deterministic(spark):
+    """Same rows, different input partitioning -> identical (host, salt)
+    assignment (a task retry or AQE re-plan must not re-salt rows)."""
+    from ghcrawler_spark.operators.frontier_ops import salted_repartition
+
+    rows = [(i, "hot.test") for i in range(5000)] + [
+        (100_000 + i, f"cold{i % 7}.test") for i in range(500)
+    ]
+    df1 = spark.createDataFrame(rows, ["seq", "host"]).repartition(3)
+    df2 = spark.createDataFrame(rows, ["seq", "host"]).repartition(17, "seq")
+    a = {(r["seq"], r["host"]): r["_salt"] for r in salted_repartition(
+        df1, "host", 16, hot_threshold=100, salt_col="seq").collect()}
+    b = {(r["seq"], r["host"]): r["_salt"] for r in salted_repartition(
+        df2, "host", 16, hot_threshold=100, salt_col="seq").collect()}
+    assert a == b
+
+
+def test_scalable_rank_by_key_equals_global_window(spark):
+    """Range-partitioned global rank == row_number over a global orderBy,
+    for string keys, at any input partitioning."""
+    from pyspark.sql import Window
+
+    from ghcrawler_spark.operators.frontier_ops import scalable_rank_by_key
+
+    rows = [(f"http://h{i % 13}.test/p{i}",) for i in range(997)]
+    df = spark.createDataFrame(rows, ["url"]).repartition(11)
+    persisted = []
+    got = {
+        r["url"]: r["rank"]
+        for r in scalable_rank_by_key(df, ["url"], "rank", buckets=8,
+                                      persisted=persisted).collect()
+    }
+    w = Window.orderBy("url")
+    want = {
+        r["url"]: r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
+    for f in persisted:
+        f.unpersist()

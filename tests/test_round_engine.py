@@ -149,3 +149,36 @@ def test_metrics_and_politeness_invariant(spark, fx, tmp_path):
         sel_from_log[r["round"]] += r["count"]
     for rnd, row in m.items():
         assert row["selected"] == sel_from_log.get(rnd, 0)
+
+
+def test_rounds_write_only_touched_state(spark, fx, sim_result, tmp_path):
+    """Merge-on-read contract: a non-compaction round's version dir holds
+    ONLY the tiny host_state table — the frontier lands as adds/removes
+    deltas; with compact_every=2 the base pointer advances and a fresh
+    engine resumes from the compacted state to the identical order log."""
+    root = str(tmp_path / "s")
+    eng, store, seeds = _engine(spark, fx, root, compact_every=2)
+    eng.seed(seeds)
+    for _ in range(3):
+        eng.run_round()
+
+    # round 1 is not a compaction round: no full frontier rewrite
+    assert sorted(os.listdir(os.path.join(root, "v000001"))) == ["host_state"]
+    assert os.path.exists(os.path.join(root, "frontier_adds", "delta_v000001"))
+    assert os.path.exists(os.path.join(root, "frontier_removes", "delta_v000001"))
+    # no deadletters in round 1 → the conditional delta write is skipped
+    assert not os.path.exists(os.path.join(root, "deadletter_adds", "delta_v000001"))
+    # round 2 compacts: base pointer moved, full tables written
+    m = store.read_manifest()
+    assert m["bases"]["frontier"] == 2
+    assert os.path.exists(os.path.join(root, "v000002", "frontier"))
+
+    # kill + resume over the compacted store: identical to the oracle
+    del eng
+    eng2, store2, _ = _engine(spark, fx, root, compact_every=2)
+    for _ in range(N_ROUNDS - 3):
+        if not eng2.run_round():
+            break
+    log, seen = _collect_state(spark, store2)
+    assert log == sim_result.order_log
+    assert seen == sim_result.seen

@@ -61,33 +61,33 @@ def test_requeue_deadletters_roundtrip(spark, drained, tmp_path):
     the requeue round itself is a committed, resumable snapshot."""
     eng, store = _engine_over_copy(spark, drained, tmp_path)
 
-    dead_before = {r.url for r in store.read(spark, "deadletter").collect()}
+    dead_before = {r.url for r in eng.current_deadletter().collect()}
     assert dead_before, "fixture must produce deadletters (hash%23==5 urls)"
     frontier_size_before = store.read_manifest()["frontier_size"]
     assert frontier_size_before == 0  # crawl drained
 
     n = eng.requeue_deadletters()
     assert n == len(dead_before)
-    assert store.read(spark, "deadletter").count() == 0
+    assert eng.current_deadletter().count() == 0
     m = store.read_manifest()
     assert m["frontier_size"] == n
-    fr = store.read(spark, "frontier").collect()
+    fr = eng.current_frontier().collect()
     assert {r.url for r in fr} == dead_before
     assert all(r.attempt == 0 for r in fr)
 
     # the revived rows crawl again (and re-deadletter, being permanent fails)
     eng.run()
     assert store.read_manifest()["frontier_size"] == 0
-    dead_after = {r.url for r in store.read(spark, "deadletter").collect()}
+    dead_after = {r.url for r in eng.current_deadletter().collect()}
     assert dead_after == dead_before
 
 
 def test_requeue_with_filter(spark, drained, tmp_path):
     eng, store = _engine_over_copy(spark, drained, tmp_path)
-    dead = [r.url for r in store.read(spark, "deadletter").collect()]
+    dead = [r.url for r in eng.current_deadletter().collect()]
     if not dead:
         return
     target = dead[0]
     n = eng.requeue_deadletters(url_filter=f"^{target}$")
     assert n == 1
-    assert store.read(spark, "deadletter").count() == len(dead) - 1
+    assert eng.current_deadletter().count() == len(dead) - 1

@@ -77,7 +77,7 @@ def main() -> int:
         eng_log = [r.asDict() for r in log]
         eng_seen = {r.url for r in store.read_appends(spark, "seen").collect()}
         eng_docs = store.read_appends(spark, "docs").collect()
-        eng_dead = {r.url for r in store.read(spark, "deadletter").collect()}
+        eng_dead = {r.url for r in eng.current_deadletter().collect()}
         eng_excl = {r.url for r in store.read_appends(spark, "excluded").collect()}
 
     print(f"engine: {rounds} rounds, {len(eng_log)} pops, {len(eng_seen)} seen, "
