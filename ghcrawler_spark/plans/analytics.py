@@ -141,8 +141,10 @@ def s1_tier_quota_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w1_weighted_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable (closed-form) rotation — no global single-partition window;
+    pinned equal to the window variant by tests/test_frontier_ops.py."""
     fr = _frontier(spark, sf_dir)
-    out = FO.weighted_rotation_order(fr, "tier", ["event_id"], TIER_WEIGHTS)
+    out = FO.weighted_rotation_order_scalable(fr, "tier", "event_id", TIER_WEIGHTS)
     return out.select(
         F.col("pop_seq").cast("long").alias("pop_seq"),
         "tier",
@@ -691,9 +693,17 @@ def d4_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d5_embedding_neardup",
     f"""
-    WITH b AS (SELECT vec_id, embedding,
-                      {V.sign_bucket_sql('embedding')} AS bucket
-               FROM embeddings)
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding,
+                            x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT))
+      FROM embeddings WHERE vec_id < 50
+    ),
+    b AS (SELECT vec_id, embedding,
+                 {V.sign_bucket_sql('embedding')} AS bucket
+          FROM aug)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {V.cosine_sql('a.embedding', 'b.embedding')} AS score
     FROM b a JOIN b b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
@@ -703,9 +713,20 @@ def d4_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup with sign-bucket blocking — the scale path (the
     all-pairs cross join is O(N²); blocking turns it into 2^bits per-bucket
-    joins). The exact unblocked scan shape is covered by n1_ann_bruteforce."""
+    joins). The random fixture has no natural near-dups, so 50 SCALED COPIES
+    (cosine exactly 1.0, same sign bucket) are planted in-query — the pair
+    math is exercised on real matches, not an empty result. Float-cast on
+    both sides keeps the planted vectors bit-identical in Spark and DuckDB.
+    The exact unblocked scan shape is covered by n1_ann_bruteforce."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(emb, threshold=0.8, bucketed=True)
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.5).cast("float")).cast("float")
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(planted)
+    return S.embedding_near_dup_pairs(aug, threshold=0.8, bucketed=True)
 
 
 @register(
@@ -901,13 +922,245 @@ def flagship_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = fr.filter(F.col("event_type") == "purchase").select("event_id").distinct()
     unseen = gated.join(seen, "event_id", "left_anti")
     capped = FO.host_topk(unseen, "host", ["event_id"], k=HOST_TOPK)
-    ordered = FO.weighted_rotation_order(capped, "tier", ["event_id"], TIER_WEIGHTS)
+    # the scalable rotation (closed-form interleave, no global window) — the
+    # plan actually run at 100TB; tests pin it equal to the window variant
+    ordered = FO.weighted_rotation_order_scalable(
+        capped, "tier", "event_id", TIER_WEIGHTS
+    )
     return ordered.select(
         F.col("pop_seq").cast("long").alias("pop_seq"),
         "tier",
         "event_id",
         "host",
         F.col("host_rank").cast("long").alias("host_rank"),
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# F6/U2/A2/J6/S4 — policy, history, compute-cost, token-bench, lease operators
+# ---------------------------------------------------------------------------
+
+@register(
+    "f6_fetch_source",
+    """
+    WITH reqs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'page' END AS type,
+             doc_id % 3 = 0 AS stored,
+             CASE doc_id % 5 WHEN 0 THEN 'storageOnly'
+                             WHEN 1 THEN 'originStorage'
+                             WHEN 2 THEN 'storageOriginIfMissing'
+                             WHEN 3 THEN 'mutables'
+                             ELSE 'originOnly' END AS policy_fetch
+      FROM documents
+    )
+    SELECT doc_id, type, policy_fetch,
+           CASE policy_fetch
+             WHEN 'storageOnly' THEN
+               CASE WHEN stored THEN 'storage' ELSE 'skip' END
+             WHEN 'originOnly' THEN 'origin'
+             WHEN 'storageOriginIfMissing' THEN
+               CASE WHEN stored THEN 'storage' ELSE 'origin' END
+             ELSE
+               CASE WHEN stored AND type = 'image' THEN 'storage'
+                    WHEN stored THEN 'etag' ELSE 'origin' END
+           END AS fetch_src
+    FROM reqs
+    """,
+)
+def f6_fetch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: fetch-source resolution (traversalPolicy.js:205-223) as a pure
+    Column expression — the same plans/policy.fetch_source the round engine
+    consults, evaluated over a deterministic policy/mutability/stored grid."""
+    from ghcrawler_spark.plans.policy import fetch_source
+
+    docs = _t(spark, sf_dir, "documents")
+    reqs = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("page").alias("type"),
+        (F.col("doc_id") % 3 == 0).alias("stored"),
+        F.element_at(
+            F.array(
+                F.lit("storageOnly"),
+                F.lit("originStorage"),
+                F.lit("storageOriginIfMissing"),
+                F.lit("mutables"),
+                F.lit("originOnly"),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("policy_fetch"),
+    )
+    return reqs.select(
+        "doc_id",
+        "type",
+        "policy_fetch",
+        fetch_source(F.col("policy_fetch"), F.col("type"), F.col("stored")).alias(
+            "fetch_src"
+        ),
+    )
+
+
+@register(
+    "u2_history_hasseen",
+    """
+    WITH reqs AS (
+      SELECT doc_id,
+             'doc@' || CAST(doc_id % 50 AS VARCHAR) AS child_key,
+             ['doc@' || CAST(doc_id % 3 AS VARCHAR),
+              'doc@' || CAST(doc_id % 5 AS VARCHAR),
+              'doc@' || CAST(doc_id % 7 AS VARCHAR)] AS history
+      FROM documents
+    )
+    SELECT doc_id, child_key FROM reqs
+    WHERE NOT list_contains(history, child_key)
+    """,
+)
+def u2_history_hasseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: per-traversal hasSeen (lib/request.js:66-74,146-150) — a child
+    edge is invisible when its key appears in the request's history array;
+    the same array_contains guard the round engine applies to child rows."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.concat(F.lit("doc@"), (F.col("doc_id") % 50).cast("string"))
+    hist = F.array(
+        *[
+            F.concat(F.lit("doc@"), (F.col("doc_id") % m).cast("string"))
+            for m in (3, 5, 7)
+        ]
+    )
+    return (
+        docs.select("doc_id", key.alias("child_key"), hist.alias("history"))
+        .filter(~F.expr("array_contains(history, child_key)"))
+        .select("doc_id", "child_key")
+    )
+
+
+@register(
+    "a2_compute_budget",
+    f"""
+    WITH frontier AS ({FRONTIER_SQL}),
+    costed AS (
+      SELECT host, event_id,
+             CAST(CASE event_type WHEN 'purchase' THEN 3
+                                  WHEN 'signup' THEN 2 ELSE 1 END AS BIGINT)
+               AS cost
+      FROM frontier
+    ),
+    cum AS (
+      SELECT host, event_id, cost,
+             CAST(sum(cost) OVER (PARTITION BY host ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS spent
+      FROM costed
+    )
+    SELECT host, event_id, cost, spent FROM cum WHERE spent <= 6
+    """,
+)
+def a2_compute_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: compute-cost budget (computeLimiter.js:27-77) — per-host
+    cumulative cost in FIFO order, truncated at the budget; the cumulative
+    window the engine's politeness stage runs (ROUND SPEC v2 step 3)."""
+    from pyspark.sql import Window
+
+    fr = _frontier(spark, sf_dir)
+    cost = (
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        fr.withColumn("cost", cost)
+        .withColumn("spent", F.sum("cost").over(w).cast("long"))
+        .filter(F.col("spent") <= 6)
+        .select("host", "event_id", "cost", "spent")
+    )
+
+
+@register(
+    "j6_token_bench",
+    f"""
+    WITH frontier AS ({FRONTIER_SQL}),
+    tokens AS (
+      SELECT * FROM (VALUES
+        ('error',    TIMESTAMP '2024-01-02 18:00:00'),
+        ('purchase', TIMESTAMP '2024-01-01 00:00:00'),
+        ('signup',   TIMESTAMP '2024-01-03 00:00:00')
+      ) AS t(trait, bench_until)
+    )
+    SELECT f.event_id, f.event_type AS trait,
+           CASE WHEN t.trait IS NULL THEN 'no_token'
+                WHEN TIMESTAMP '{GATE_NOW}' < t.bench_until THEN 'benched'
+                ELSE 'ready' END AS token_status
+    FROM frontier f LEFT JOIN tokens t ON t.trait = f.event_type
+    """,
+)
+def j6_token_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: token trait matching + benching (tokenFactory.js:41-93) — requests
+    join a (trait, bench_until) token table; benched tokens defer their
+    requests, absent tokens reject them. The broadcast-join shape the engine
+    uses for trait budgets."""
+    fr = _frontier(spark, sf_dir)
+    tokens = spark.createDataFrame(
+        [
+            ("error", "2024-01-02 18:00:00"),
+            ("purchase", "2024-01-01 00:00:00"),
+            ("signup", "2024-01-03 00:00:00"),
+        ],
+        "trait string, bench_until string",
+    ).withColumn("bench_until", F.col("bench_until").cast("timestamp"))
+    now = F.lit(GATE_NOW).cast("timestamp")
+    return (
+        fr.join(F.broadcast(tokens), fr.event_type == tokens.trait, "left")
+        .select(
+            "event_id",
+            F.col("event_type").alias("trait"),
+            F.when(F.col("bench_until").isNull(), "no_token")
+            .when(now < F.col("bench_until"), "benched")
+            .otherwise("ready")
+            .alias("token_status"),
+        )
+    )
+
+
+@register(
+    "s4_lease_reclaim",
+    f"""
+    WITH frontier AS ({FRONTIER_SQL}),
+    leased AS (
+      SELECT event_id, host,
+             'w' || CAST(event_id % 3 AS VARCHAR) AS lease_owner,
+             ts + to_seconds(60 + attempt * 300) AS locked_until
+      FROM frontier
+    )
+    SELECT event_id, host, lease_owner,
+           CASE WHEN locked_until > TIMESTAMP '{GATE_NOW}'
+                THEN 'held' ELSE 'reclaimed' END AS lease_status
+    FROM leased
+    """,
+)
+def s4_lease_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5: broker lease visibility-timeout reclaim (amqp10Queue.js:163-189,
+    253-268) — messages whose lock expired are reclaimable by any worker.
+    The engine itself needs no per-message leases (single-writer snapshot
+    invariant, round_engine module doc) but the operator shape is here for
+    multi-writer queue fronts."""
+    fr = _frontier(spark, sf_dir)
+    locked = F.expr("ts + make_interval(0, 0, 0, 0, 0, 0, 60 + attempt * 300)")
+    now = F.lit(GATE_NOW).cast("timestamp")
+    return fr.select(
+        "event_id",
+        "host",
+        F.concat(F.lit("w"), (F.col("event_id") % 3).cast("string")).alias(
+            "lease_owner"
+        ),
+        F.when(locked > now, "held").otherwise("reclaimed").alias("lease_status"),
     )
 
 

@@ -1,14 +1,14 @@
 """The crawl round engine — ghcrawler's processOne pipeline re-expressed as
 one batch DataFrame job per round (SURVEY.md §3.4 lifecycle mapping).
 
-Implements ROUND SPEC v1 (ghcrawler_spark/simulator.py module doc) — the
+Implements ROUND SPEC v2 (ghcrawler_spark/simulator.py module doc) — the
 simulator is the oracle; tests pin engine order_log == simulator order_log
 EXACTLY, at any parallelism (the spec has no order-dependence on partition
 count: every window orders by a unique key).
 
 Stage map (reference → here):
   queues.pop weighted rotation (queueSet.js:46-65)   → weighted_rotation_order
-  token bench / rate limit (tokenFactory, limiters)  → host token-bucket join + host_topk
+  token bench / rate limit (tokenFactory, limiters)  → bucket join + cumulative-cost window + trait caps + bench_until
   tracker/etag dedup (redisRequestTracker, etag)     → Bloom probe + anti-join (filter_unseen)
   _fetch (githubFetcher.js:18-24)                    → corpus equi-join (+ decode/PSNR pandas UDF)
   _processDocument fan-out (githubProcessor:102-121) → links join + explode-equivalent + attenuate
@@ -55,31 +55,36 @@ from ghcrawler_spark.functions.urls import extract_host
 from ghcrawler_spark.hashing import stable_long_hash
 from ghcrawler_spark.operators.frontier_ops import (
     WEIGHT_SCALE,
-    host_topk,
     scalable_rank_by_key,
     weighted_rotation_order_scalable,
 )
 from ghcrawler_spark.operators.seen import SHARD_SCHEMA, BloomShardSet, filter_unseen
+from ghcrawler_spark.plans.policy import fetch_source, next_map_path, should_process
+from ghcrawler_spark.simulator import EVENT_POLICY
 from ghcrawler_spark.sources.snapshot import SnapshotStore
 
 FRONTIER_SCHEMA = (
     "url string, type string, tier string, host string, enqueue_seq long, "
-    "attempt int"
+    "attempt int, policy_fetch string, policy_freshness string, "
+    "map_path string, history array<string>, payload_id string"
 )
 SEEN_SCHEMA = "url string, url_hash long"
 ORDER_LOG_SCHEMA = (
     "seq long, round int, pop_seq long, url string, type string, tier string, "
     "host string, outcome string"
 )
-HOST_STATE_SCHEMA = "host string, level long"
-DOCS_SCHEMA = "image_id string, url string, round int, psnr_db double, valid boolean"
+HOST_STATE_SCHEMA = "host string, level long, bench_until long"
+DOCS_SCHEMA = (
+    "image_id string, url string, round int, version int, psnr_db double, "
+    "valid boolean"
+)
 DEADLETTER_SCHEMA = (
     "url string, type string, tier string, round int, attempt int, reason string"
 )
 EXCLUDED_SCHEMA = "url string, round int"
 METRICS_SCHEMA = (
     "round int, selected long, children long, requeued long, deadlettered long, "
-    "frontier_after long"
+    "frontier_after long, ingested long"
 )
 LINEAGE_SCHEMA = (
     "round int, tier string, host_bucket int, n_popped long, n_processed long, "
@@ -91,7 +96,9 @@ LINEAGE_BUCKETS = 32
 @dataclass
 class CrawlConfig:
     tier_weights: dict = field(
-        default_factory=lambda: {"immediate": 3, "soon": 2, "normal": 3, "later": 2}
+        default_factory=lambda: {
+            "events": 10, "immediate": 3, "soon": 2, "normal": 3, "later": 2
+        }
     )
     bucket_capacity: int = 4
     bucket_fill: int = 2
@@ -110,11 +117,30 @@ class CrawlConfig:
     # merge-on-read state: rewrite the frontier/seen bases every K rounds;
     # between compactions a round writes only its own adds/removes deltas
     compact_every: int = 8
+    # ROUND SPEC v2 policy/limiter semantics (simulator.py module doc):
+    processor_version: int = 1
+    compute_costs: dict | None = None  # type -> integer cost (None = all 1)
+    trait_budgets: dict | None = None  # token trait -> per-round cap
+    type_traits: dict | None = None  # type -> trait (default: the type)
+    bench_on_throttle: bool = False  # 403-style bench (tokenFactory.js:41-93)
+    bench_rounds: int = 2
+    ingest_dir: str | None = None  # staged event batches absorbed per round
 
 
 def _path_col(url):
     p = F.regexp_extract(url, "://[^/]*(/.*)$", 1)
     return F.when(p == "", "/").otherwise(p)
+
+
+def _malformed_cond():
+    """F3 pre-filter (mirror of simulator.is_malformed)."""
+    return (
+        F.col("url").isNull()
+        | (F.col("url") == "")
+        | F.col("type").isNull()
+        | (F.col("type") == "")
+        | ~F.col("url").rlike("^https?://")
+    )
 
 
 _TRACE = os.environ.get("SPARK_GRAFT_TRACE", "") == "1"
@@ -223,6 +249,96 @@ class CrawlEngine:
             pass
         return out
 
+    # -- event ingest (ROUND SPEC v2 step 0) ----------------------------------
+
+    def _pending_event_files(self, manifest: dict) -> list[str]:
+        """Staged parquet part-files not yet absorbed (manifest['ingested']
+        records absorbed file names, so crash-replay re-absorbs the same
+        batch deterministically and an external writer never mutates engine
+        tables — the single-writer invariant from the module doc)."""
+        d = self.cfg.ingest_dir
+        if not d or not os.path.isdir(d):
+            return []
+        done = set(manifest.get("ingested", []))
+        return sorted(
+            f
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith((".", "_")) and f not in done
+        )
+
+    def _absorb_events(
+        self,
+        rnd: int,
+        next_seq: int,
+        files: list[str],
+        frontier: DataFrame,
+        persisted: list,
+    ):
+        """Absorb staged webhook events into the 'events' tier (weight 10,
+        crawlerFactory.js:86,680-685): malformed → deadletter (F3), robots →
+        excluded, first occurrence per url wins, in-flight urls dropped
+        (freshness 'always' means the seen set does NOT block), payload rows
+        keep their inline document (lib/crawler.js:348-358).
+
+        Returns (ingested_df|None, n_ingested, deadletter_rows|None,
+        excluded_rows|None)."""
+        if not files:
+            return None, 0, None, None
+        ev = self.spark.read.parquet(
+            *[os.path.join(self.cfg.ingest_dir, f) for f in files]
+        )
+        have = set(ev.columns)
+        ev = ev.select(
+            "url",
+            "type",
+            (F.col("event_ms") if "event_ms" in have else F.lit(0))
+            .cast("long")
+            .alias("event_ms"),
+            (F.col("payload_id") if "payload_id" in have else F.lit(None))
+            .cast("string")
+            .alias("payload_id"),
+        )
+        bad = ev.filter(_malformed_cond())
+        ev_dead = bad.select(
+            F.coalesce(F.col("url"), F.lit("")).alias("url"),
+            F.coalesce(F.col("type"), F.lit("")).alias("type"),
+            F.lit("events").alias("tier"),
+            F.lit(rnd).alias("round"),
+            F.lit(0).cast("int").alias("attempt"),
+            F.lit("malformed").alias("reason"),
+        )
+        ok = ev.filter(~_malformed_cond())
+        w = Window.partitionBy("url").orderBy("event_ms", "type")
+        first = (
+            ok.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "event_ms")
+            .withColumn("host", extract_host(F.col("url")))
+        )
+        allowed, denied = self._robots_allowed(first)
+        ev_excl = denied.select("url", F.lit(rnd).alias("round"))
+        fresh = allowed.join(frontier.select("url"), "url", "left_anti")
+        pf, fresh_policy, mp = EVENT_POLICY
+        ingested = (
+            scalable_rank_by_key(fresh, ["url"], "_rank", persisted=persisted)
+            .select(
+                "url",
+                "type",
+                F.lit("events").alias("tier"),
+                "host",
+                (F.lit(next_seq) + F.col("_rank")).cast("long").alias("enqueue_seq"),
+                F.lit(0).cast("int").alias("attempt"),
+                F.lit(pf).alias("policy_fetch"),
+                F.lit(fresh_policy).alias("policy_freshness"),
+                F.lit(mp).alias("map_path"),
+                F.array().cast("array<string>").alias("history"),
+                "payload_id",
+            )
+            .persist()
+        )
+        persisted.append(ingested)
+        return ingested, ingested.count(), ev_dead, ev_excl
+
     def current_frontier(self) -> DataFrame:
         """The live frontier view at the committed manifest version."""
         manifest = self.store.read_manifest()
@@ -292,13 +408,31 @@ class CrawlEngine:
     # -- bootstrap ------------------------------------------------------------
 
     def seed(self, seeds: DataFrame) -> None:
-        """Round 0: robots-check the seed list, assign enqueue_seq, commit."""
-        base = seeds.select(
+        """Round 0: malformed-check (F3 → deadletter, lib/crawler.js:563-576),
+        robots-check, assign enqueue_seq, commit. Missing policy columns get
+        the reference's default policy (originStorage:match@/)."""
+        have = set(seeds.columns)
+        defaults = {
+            "policy_fetch": F.lit("originStorage"),
+            "policy_freshness": F.lit("match"),
+            "map_path": F.lit("/"),
+        }
+        policy_cols = [
+            (F.col(c) if c in have else d).alias(c) for c, d in defaults.items()
+        ]
+        rows = seeds.select(
+            "url", "type", "tier", *policy_cols
+        )
+        malformed = rows.filter(_malformed_cond())
+        base = rows.filter(~_malformed_cond()).select(
             "url",
             "type",
             "tier",
             extract_host("url").alias("host"),
             F.lit(0).alias("attempt"),
+            "policy_fetch",
+            "policy_freshness",
+            "map_path",
         )
         allowed, denied = self._robots_allowed(base)
         # enqueue_seq = rank by url — via the range-partitioned distributed
@@ -307,7 +441,19 @@ class CrawlEngine:
         persisted: list = []
         frontier = scalable_rank_by_key(
             allowed, ["url"], "enqueue_seq", persisted=persisted
-        ).select("url", "type", "tier", "host", "enqueue_seq", F.col("attempt").cast("int"))
+        ).select(
+            "url",
+            "type",
+            "tier",
+            "host",
+            "enqueue_seq",
+            F.col("attempt").cast("int"),
+            "policy_fetch",
+            "policy_freshness",
+            "map_path",
+            F.array().cast("array<string>").alias("history"),
+            F.lit(None).cast("string").alias("payload_id"),
+        )
         n_seeded = frontier.count()
         # v0 holds the BASE tables of the merge-on-read model; rounds write
         # only adds/removes deltas until a compaction moves the base pointer
@@ -316,7 +462,14 @@ class CrawlEngine:
             {
                 "frontier": frontier,
                 "host_state": self._empty(HOST_STATE_SCHEMA),
-                "deadletter": self._empty(DEADLETTER_SCHEMA),
+                "deadletter": malformed.select(
+                    F.coalesce(F.col("url"), F.lit("")).alias("url"),
+                    F.coalesce(F.col("type"), F.lit("")).alias("type"),
+                    F.coalesce(F.col("tier"), F.lit("")).alias("tier"),
+                    F.lit(0).alias("round"),
+                    F.lit(0).cast("int").alias("attempt"),
+                    F.lit("malformed").alias("reason"),
+                ),
             },
         )
         # history tables: append-only deltas (Iceberg append-snapshot model)
@@ -355,6 +508,7 @@ class CrawlEngine:
                 "frontier_size": n_seeded,
                 "bases": {"frontier": 0, "seen": None, "deadletter": 0},
                 "bloom": _bloom_manifest(bloom),
+                "ingested": [],
             },
         )
         self._bloom, self._bloom_version = bloom, 0
@@ -371,16 +525,27 @@ class CrawlEngine:
         next_seq = manifest["next_seq"]
         total_popped = manifest["total_popped"]
 
-        # frontier emptiness is a manifest scalar — no probe job
-        if manifest.get("frontier_size", 1) == 0:
+        # frontier emptiness is a manifest scalar — no probe job; a pending
+        # event batch still wakes an empty frontier (webhook → events tier)
+        pending_files = self._pending_event_files(manifest)
+        if manifest.get("frontier_size", 1) == 0 and not pending_files:
             return False
         persisted: list = []  # frames to unpersist once the round commits
         tr = _Tracer(f"round {rnd}")
         bases = self._bases(manifest)
+        frontier0 = self._read_frontier(version, bases)
+        # 0. event ingest: absorb staged webhook batches into the events tier
+        # (weight 10) before selection — ROUND SPEC v2 step 0
+        ingested, n_ingested, ev_dead, ev_excl = self._absorb_events(
+            rnd, next_seq, pending_files, frontier0, persisted
+        )
+        if ingested is not None:
+            frontier0 = frontier0.unionByName(ingested)
+            next_seq += n_ingested
         # persist the merged frontier view: half a dozen downstream frames
         # (hosts, dead, eligible, remaining, ...) scan it, and the merge-on-
         # read union+anti-join is no longer a free parquet re-read
-        frontier = self._read_frontier(version, bases).persist()
+        frontier = frontier0.persist()
         persisted.append(frontier)
         seen = self._read_seen(version, bases)
         host_state = self.store.read(self.spark, "host_state", version)
@@ -397,17 +562,61 @@ class CrawlEngine:
                 )
                 + cfg.bucket_fill,
             ).alias("level"),
+            # benched hosts keep refilling; they just can't spend (J6)
+            F.coalesce(F.col("bench_until"), F.lit(0)).alias("bench_until"),
         )
 
         # 2. deadletter split
         dead = frontier.filter(F.col("attempt") > cfg.max_attempts)
         eligible = frontier.filter(F.col("attempt") <= cfg.max_attempts)
 
-        # 3. politeness: per-host budget = bucket level
-        budgeted = eligible.join(levels, "host")
-        polite = host_topk(
-            budgeted, "host", ["enqueue_seq"], budget_col="level"
-        ).drop("host_rank", "level")
+        # 3. politeness: benched hosts withheld (tokenFactory.js:41-93);
+        # per-host budget = bucket level consumed by COMPUTE COST
+        # (computeLimiter.js:27-77; unit costs degenerate to rank<=level)
+        if cfg.compute_costs:
+            pairs = [x for t, c in cfg.compute_costs.items() for x in (F.lit(t), F.lit(int(c)))]
+            cost_col = F.coalesce(
+                F.element_at(F.create_map(*pairs), F.col("type")), F.lit(1)
+            )
+        else:
+            cost_col = F.lit(1)
+        budgeted = (
+            eligible.join(levels, "host")
+            .filter(F.col("bench_until") < rnd)
+            .withColumn("_cost", cost_col.cast("long"))
+        )
+        w_cum = (
+            Window.partitionBy("host")
+            .orderBy("enqueue_seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        polite = (
+            budgeted.withColumn("_cum", F.sum("_cost").over(w_cum))
+            .filter(F.col("_cum") <= F.col("level"))
+            .drop("_cum", "level", "bench_until")
+        )
+        # 3b. token trait caps (tokenFactory.js:41-74): at most budget[trait]
+        # pops per trait per round, FIFO within the trait
+        if cfg.trait_budgets is not None:
+            tmap = cfg.type_traits or {}
+            tpairs = [x for t, tr_ in tmap.items() for x in (F.lit(t), F.lit(tr_))]
+            trait_col = (
+                F.coalesce(F.element_at(F.create_map(*tpairs), F.col("type")), F.col("type"))
+                if tpairs
+                else F.col("type")
+            )
+            bpairs = [x for t, b in cfg.trait_budgets.items() for x in (F.lit(t), F.lit(int(b)))]
+            budget_col = F.coalesce(
+                F.element_at(F.create_map(*bpairs), F.col("_trait")),
+                F.lit(10**9),
+            )
+            w_tr = Window.partitionBy("_trait").orderBy("enqueue_seq")
+            polite = (
+                polite.withColumn("_trait", trait_col)
+                .withColumn("_tr_rank", F.row_number().over(w_tr))
+                .filter(F.col("_tr_rank") <= budget_col)
+                .drop("_trait", "_tr_rank")
+            )
 
         # 4. weighted rotation + round capacity (closed-form interleave —
         # no global window; see frontier_ops.weighted_rotation_order_scalable)
@@ -425,27 +634,61 @@ class CrawlEngine:
             "rank_in_tier", "virtual_time"
         )
 
-        # 5. fetch: corpus join + failure injection
+        # 5. fetch: corpus + doc-store joins, then the ROUND SPEC v2
+        # decision table (fetch_source → failure injection on origin contact
+        # only → should_process; traversalPolicy.js:170-223)
         corpus_keys = self.corpus.select(
             F.col("url").alias("c_url"), F.col("image_id")
         )
-        fetched = selected.join(
-            corpus_keys, selected.url == corpus_keys.c_url, "left"
-        ).drop("c_url")
+        stored_df = (
+            self.store.read_appends(self.spark, "docs", version)
+            .groupBy(F.col("url").alias("s_url"))
+            .agg(
+                F.max("round").alias("stored_round"),
+                F.max("version").alias("stored_version"),
+            )
+        )
+        fetched = (
+            selected.join(corpus_keys, selected.url == corpus_keys.c_url, "left")
+            .drop("c_url")
+            .join(stored_df, F.col("url") == F.col("s_url"), "left")
+            .drop("s_url")
+        )
         url_h = stable_long_hash(F.col("url"))
-        fetched = fetched.withColumn(
-            "_fails",
+        stored = F.col("stored_round").isNotNull()
+        fsrc = fetch_source(F.col("policy_fetch"), F.col("type"), stored)
+        throttle = (
             F.lit(cfg.inject_failures)
-            & (
-                (url_h % 23 == 5)
-                | ((url_h % 11 == 3) & (F.col("attempt") < 2))
-            ),
-        ).withColumn(
-            "outcome",
-            F.when(F.col("_fails"), "Requeued")
-            .when(F.col("type") != "image", "Traversed")
-            .when(F.col("image_id").isNotNull(), "Processed")
-            .otherwise("Missing"),
+            & (url_h % 11 == 3)
+            & (F.col("attempt") < 2)
+        )
+        perm = F.lit(cfg.inject_failures) & (url_h % 23 == 5)
+        fails = (
+            (throttle | perm)
+            & fsrc.isin("origin", "etag")
+            & F.col("payload_id").isNull()
+        )
+        process = F.when(~stored, F.lit(True)).otherwise(
+            should_process(
+                F.col("policy_freshness"),
+                fsrc == "origin",
+                F.col("stored_version"),
+                cfg.processor_version,
+                F.lit(rnd) - F.col("stored_round"),
+            )
+        )
+        fetched = (
+            fetched.withColumn("_throttle", throttle)
+            .withColumn(
+                "outcome",
+                F.when(F.col("payload_id").isNotNull(), "Processed")
+                .when(fails, "Requeued")
+                .when(fsrc == "skip", "Skipped")
+                .when(F.col("type") != "image", "Traversed")
+                .when((fsrc == "origin") & F.col("image_id").isNull(), "Missing")
+                .when(process, "Processed")
+                .otherwise("Unchanged"),
+            )
         )
         fetched = fetched.persist()
         # ONE job yields the whole outcome histogram (selected/requeued/
@@ -478,7 +721,13 @@ class CrawlEngine:
         )
         seen_next = seen.unionByName(newly_seen)
 
-        # docs (+ optional decode/PSNR validation — the J8 audit)
+        # docs (+ optional decode/PSNR validation — the J8 audit). The doc
+        # id comes from the corpus, a carried payload, or the prior store
+        doc_id = F.coalesce(
+            F.col("payload_id"),
+            F.col("image_id"),
+            F.concat(F.lit("stored:"), F.col("url")),
+        )
         processed = fetched.filter(F.col("outcome") == "Processed")
         if cfg.validate_images:
             cval = self.corpus.select(
@@ -489,21 +738,32 @@ class CrawlEngine:
                 "caption",
             )
             docs_new = (
-                processed.join(cval, processed.url == cval.c_url)
+                processed.join(cval, processed.url == cval.c_url, "left")
                 .withColumn(
                     "psnr_db",
-                    psnr_vs_reference_udf(
-                        F.col("bytes"), F.col("fmt"), F.col("ref_bytes"), F.lit("png")
+                    F.when(
+                        F.col("bytes").isNotNull(),
+                        psnr_vs_reference_udf(
+                            F.col("bytes"), F.col("fmt"), F.col("ref_bytes"), F.lit("png")
+                        ),
                     ),
                 )
                 .withColumn("valid", F.col("psnr_db") >= 40.0)
-                .select("image_id", "url", F.lit(rnd).alias("round"), "psnr_db", "valid")
+                .select(
+                    doc_id.alias("image_id"),
+                    "url",
+                    F.lit(rnd).alias("round"),
+                    F.lit(cfg.processor_version).alias("version"),
+                    "psnr_db",
+                    "valid",
+                )
             )
         else:
             docs_new = processed.select(
-                "image_id",
+                doc_id.alias("image_id"),
                 "url",
                 F.lit(rnd).alias("round"),
+                F.lit(cfg.processor_version).alias("version"),
                 F.lit(None).cast("double").alias("psnr_db"),
                 F.lit(None).cast("boolean").alias("valid"),
             )
@@ -515,6 +775,14 @@ class CrawlEngine:
             F.col("url").alias("src_url"),
             F.col("pop_seq").alias("parent_pop"),
             F.col("type").alias("parent_type"),
+            F.col("policy_fetch").alias("p_fetch"),
+            F.col("policy_freshness").alias("p_fresh"),
+            F.col("map_path").alias("p_map"),
+            # the child's history-to-be: ancestors + this parent's key
+            F.concat(
+                F.col("history"),
+                F.array(F.concat(F.col("type"), F.lit("@"), F.col("url"))),
+            ).alias("p_history"),
         )
         raw_children = parents.join(self.links, "src_url").select(
             "parent_pop",
@@ -522,6 +790,16 @@ class CrawlEngine:
             F.col("edge"),
             F.col("dst_url").alias("url"),
             F.col("dst_type").alias("type"),
+            "p_fetch",
+            "p_fresh",
+            "p_map",
+            "p_history",
+        )
+        # per-traversal hasSeen (U2, lib/request.js:66-74,146-150): an edge
+        # whose target key already appears on this path is INVISIBLE — this,
+        # not the global seen set, is what bounds cyclic revisit policies
+        raw_children = raw_children.filter(
+            ~F.expr("array_contains(p_history, concat(type, '@', url))")
         )
         if cfg.visitor_map is not None:
             # only traverse edges the visitor map declares for the parent type
@@ -565,10 +843,15 @@ class CrawlEngine:
                     fpr=cfg.bloom_fpr,
                     expected_per_shard=max(64, 4 * bloom.capacity_per_shard),
                 )
+        # revisit rule (ROUND SPEC v2 step 7): freshness 'always' children
+        # bypass the seen-set dedup (the page may have changed; history above
+        # already bounds cycles) — everything else defers to the dedup cache
+        always_kids = uniq.filter(F.col("p_fresh") == "always").drop("url_hash")
+        match_kids = uniq.filter(F.col("p_fresh") != "always")
         unseen_children = filter_unseen(
-            uniq, seen_next.select("url_hash"), bloom, key_col="url_hash",
+            match_kids, seen_next.select("url_hash"), bloom, key_col="url_hash",
             persisted=persisted,
-        ).drop("url_hash")
+        ).drop("url_hash").unionByName(always_kids)
         fresh = unseen_children.join(
             remaining.select("url").unionByName(
                 fetched.filter(F.col("outcome") == "Requeued").select("url")
@@ -593,6 +876,13 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("attempt"),
             F.lit(0).alias("_grp"),
             F.col("parent_pop").cast("long").alias("_ord"),
+            # children inherit the winning parent's policy; the map path
+            # descends one step (traversalPolicy.js:154-160)
+            F.col("p_fetch").alias("policy_fetch"),
+            F.col("p_fresh").alias("policy_freshness"),
+            next_map_path(F.col("p_map"), F.col("edge")).alias("map_path"),
+            F.col("p_history").alias("history"),
+            F.lit(None).cast("string").alias("payload_id"),
         )
         rq_rows = fetched.filter(F.col("outcome") == "Requeued").select(
             "url",
@@ -602,6 +892,11 @@ class CrawlEngine:
             (F.col("attempt") + 1).cast("int").alias("attempt"),
             F.lit(1).alias("_grp"),
             F.col("pop_seq").cast("long").alias("_ord"),
+            "policy_fetch",
+            "policy_freshness",
+            "map_path",
+            "history",
+            "payload_id",
         )
         w_enq = Window.orderBy("_grp", "_ord", "url")
         new_rows = (
@@ -620,22 +915,46 @@ class CrawlEngine:
             # files must match the base table's long schema exactly
             F.col("enqueue_seq").cast("long").alias("enqueue_seq"),
             "attempt",
+            "policy_fetch",
+            "policy_freshness",
+            "map_path",
+            "history",
+            "payload_id",
         )
 
-        # 9. bucket spend
-        spend = fetched.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+        # 9. bucket spend (compute cost per popped row) + throttle benching
+        spend = fetched.groupBy("host").agg(F.sum("_cost").alias("_n"))
         levels_next = levels.join(spend, "host", "left").select(
             "host",
             (F.col("level") - F.coalesce(F.col("_n"), F.lit(0))).alias("level"),
+            "bench_until",
         )
+        if cfg.bench_on_throttle:
+            # hosts that took a transient (throttle-class) failure this round
+            # are benched until rnd + bench_rounds (githubFetcher.js:176-192)
+            thr = (
+                fetched.filter((F.col("outcome") == "Requeued") & F.col("_throttle"))
+                .select("host")
+                .distinct()
+                .withColumn("_bench", F.lit(rnd + cfg.bench_rounds).cast("long"))
+            )
+            levels_next = levels_next.join(thr, "host", "left").select(
+                "host",
+                "level",
+                F.greatest(
+                    F.col("bench_until"), F.coalesce(F.col("_bench"), F.lit(0))
+                ).alias("bench_until"),
+            )
 
         # size arithmetic — no count jobs (invariant-checked by tests)
         n_frontier_after = (
-            manifest["frontier_size"] - n_dead - n_selected + n_children + n_requeued
+            manifest["frontier_size"] + n_ingested
+            - n_dead - n_selected + n_children + n_requeued
         )
 
         metrics_new = self.spark.createDataFrame(
-            [(rnd, n_selected, n_children, n_requeued, n_dead, n_frontier_after)],
+            [(rnd, n_selected, n_children, n_requeued, n_dead, n_frontier_after,
+              n_ingested)],
             METRICS_SCHEMA,
         )
 
@@ -653,9 +972,12 @@ class CrawlEngine:
             new_bases["frontier"] = rnd
             full_tables["seen"] = seen_next
             new_bases["seen"] = rnd
+        frontier_adds = new_rows_clean
+        if ingested is not None:
+            frontier_adds = ingested.unionByName(frontier_adds)
         writes: list = [
             lambda: self.store.write_tables(rnd, full_tables),
-            lambda: self.store.write_append(rnd, "frontier_adds", new_rows_clean),
+            lambda: self.store.write_append(rnd, "frontier_adds", frontier_adds),
             lambda: self.store.write_append(
                 rnd,
                 "frontier_removes",
@@ -664,20 +986,19 @@ class CrawlEngine:
             lambda: self.store.write_append(rnd, "seen", newly_seen),
             lambda: self.store.write_append(rnd, "order_log", log_rows),
         ]
-        if n_dead > 0:
+        if n_dead > 0 or ev_dead is not None:
+            dl = dead.select(
+                "url",
+                "type",
+                "tier",
+                F.lit(rnd).alias("round"),
+                "attempt",
+                F.lit("max_attempts").alias("reason"),
+            )
+            if ev_dead is not None:
+                dl = dl.unionByName(ev_dead)
             writes.append(
-                lambda: self.store.write_append(
-                    rnd,
-                    "deadletter_adds",
-                    dead.select(
-                        "url",
-                        "type",
-                        "tier",
-                        F.lit(rnd).alias("round"),
-                        "attempt",
-                        F.lit("max_attempts").alias("reason"),
-                    ),
-                )
+                lambda: self.store.write_append(rnd, "deadletter_adds", dl)
             )
         # per-partition lineage (north_rule): which (tier, host-bucket)
         # partition produced what this round — the audit trail that lets a
@@ -711,13 +1032,10 @@ class CrawlEngine:
         if hist.get("Processed", 0) > 0:
             writes.append(lambda: self.store.write_append(rnd, "docs", docs_new))
         if self.cfg.robots_deny:
-            writes.append(
-                lambda: self.store.write_append(
-                    rnd,
-                    "excluded",
-                    fresh_denied.select("url", F.lit(rnd).alias("round")),
-                )
-            )
+            excl = fresh_denied.select("url", F.lit(rnd).alias("round"))
+            if ev_excl is not None:
+                excl = ev_excl.unionByName(excl)
+            writes.append(lambda: self.store.write_append(rnd, "excluded", excl))
         writes.append(lambda: self.store.write_append(rnd, "metrics", metrics_new))
         if cfg.use_bloom:
             writes.append(lambda: self._write_bloom(rnd, bloom))
@@ -733,6 +1051,7 @@ class CrawlEngine:
             "round": rnd,
             "frontier_size": n_frontier_after,
             "bases": new_bases,
+            "ingested": sorted(set(manifest.get("ingested", [])) | set(pending_files)),
         }
         if cfg.use_bloom:
             extras["bloom"] = _bloom_manifest(bloom)
@@ -783,7 +1102,19 @@ class CrawlEngine:
                 "enqueue_seq", (F.lit(next_seq) + F.col("_rank")).cast("long")
             )
             .withColumn("attempt", F.lit(0).cast("int"))
-            .select("url", "type", "tier", "host", "enqueue_seq", "attempt")
+            .select(
+                "url",
+                "type",
+                "tier",
+                "host",
+                "enqueue_seq",
+                "attempt",
+                F.lit("originStorage").alias("policy_fetch"),
+                F.lit("match").alias("policy_freshness"),
+                F.lit("/").alias("map_path"),
+                F.array().cast("array<string>").alias("history"),
+                F.lit(None).cast("string").alias("payload_id"),
+            )
         )
         n_revived = revived.count()
         if n_revived == 0:
@@ -810,6 +1141,7 @@ class CrawlEngine:
             "round": rnd,
             "frontier_size": manifest["frontier_size"] + n_revived,
             "bases": new_bases,
+            "ingested": manifest.get("ingested", []),
         }
         if "bloom" in manifest:
             # blobs are per-version: carry the previous version's forward

@@ -7,50 +7,97 @@ queue rotation is replaced by seeded integer virtual-time rotation in BOTH
 the simulator and the Spark engine, so order is well-defined and
 parallelism-independent).
 
-=== ROUND SPEC v1 (the contract tests pin engine == simulator on) ===
+=== ROUND SPEC v2 (the contract tests pin engine == simulator on) ===
 
-State: frontier rows (url, type, tier, host, enqueue_seq, attempt);
-seen set (urls ever popped); host bucket levels (integer token bucket);
-order log; docs; deadletter; next_seq counter.
+State: frontier rows (url, type, tier, host, enqueue_seq, attempt,
+policy_fetch, policy_freshness, map_path, history, payload_id);
+seen set (urls ever completed); stored docs {url: (round, version)};
+host state (integer token bucket level, bench_until round); order log;
+docs; deadletter; excluded; next_seq counter; pending event batches.
 
 Round r = 1, 2, ...:
+ 0. event ingest: pending webhook-style events (sorted by (event_ms, url),
+    first occurrence per url wins) enter the 'events' tier (weight 10,
+    crawlerFactory.js:86) with the event policy (freshness 'always' — an
+    event announces a change, so the seen set does not block it); rows
+    already in the frontier are dropped; malformed rows (null/relative url
+    or missing type) go to the deadletter with reason 'malformed'
+    (lib/crawler.js:563-576); robots-denied rows are excluded. Events may
+    carry a payload document (payload_id) — those skip the fetch entirely
+    (lib/crawler.js:348-358).
  1. refill: level = min(capacity, level + fill_rate) for all known and
-    current hosts; first-seen hosts start at capacity. (integer arithmetic)
+    current hosts; first-seen hosts start at capacity. (integer arithmetic;
+    benched hosts keep refilling — tokenFactory.js restores benched tokens)
  2. deadletter: frontier rows with attempt > max_attempts move to the
     deadletter table (not logged in the order log — never popped).
- 3. politeness: rank eligible rows per host by enqueue_seq;
-    keep host_rank <= level(host)           [W3; tokenFactory benching]
+ 3. politeness: benched hosts (bench_until >= r) are withheld entirely
+    (tokenFactory bench, tokenFactory.js:41-93). Per host, take rows in
+    enqueue_seq order while the cumulative COMPUTE COST stays within the
+    bucket level (computeLimiter.js:27-77; cost = compute_costs[type],
+    default 1 — with unit costs this is exactly rank <= level)  [W3/J6/A2]
+ 3b. trait caps: when trait_budgets is set, requests map to a token trait
+    (type_traits[type], default the type itself) and at most
+    trait_budgets[trait] rows per trait survive per round, FIFO
+    (token trait matching, tokenFactory.js:41-74)                   [J6]
  4. weighted rotation: rank_in_tier (by enqueue_seq) * (2520/weight[tier])
     = virtual_time; pop order = (virtual_time, tier, rank_in_tier);
     keep pop_seq <= round_capacity          [W1/W2; queueSet.js:46-65]
- 5. fetch: selected image URLs resolve in the corpus (Processed / Missing);
-    pages resolve in the link table (Traversed). Deterministic failure
-    injection: urls with stable_hash(url) % 11 == 3 fail while
-    attempt < 2 → outcome Requeued, attempt+1, re-enqueued at the tail
-    (new enqueue_seq)                       [retry: crawler.js:150-154]
- 6. seen += successfully popped urls (Processed/Traversed/Missing —
-    NOT Requeued).
+ 5. fetch (traversalPolicy.js:205-223 fetch-source resolution):
+      stored   = url in the doc store
+      fsrc     = fetch_source(policy_fetch, type mutability, stored)
+      payload rows → Processed (no fetch, no failure possible)
+      deterministic failure injection applies ONLY to origin contact
+      (fsrc in {origin, etag}): hash%23==5 permanent, hash%11==3 while
+      attempt<2 transient → outcome Requeued, attempt+1, re-enqueued at
+      the tail                               [retry: crawler.js:150-154]
+      fsrc == skip → outcome Skipped (storageOnly and nothing stored)
+      pages (not skipped/failed) → Traversed
+      images: origin fetch resolves in the corpus (else Missing);
+      stored content (fsrc storage, or etag → 304 since the corpus is
+      static) arrives with content_from_origin = False; then
+      should_process(freshness) (traversalPolicy.js:170-188) decides
+      Processed (doc upserted with (round, processor_version)) vs
+      Unchanged (completed, no doc)
+ 6. seen += every popped url whose outcome is not Requeued
+    (Processed/Traversed/Missing/Skipped/Unchanged all complete).
  7. children of Traversed pages: edge 'images' → tier 'soon', 'pages' →
-    'normal' [pagination-to-soon analog githubProcessor.js:58-79];
+    'normal'; a child edge is INVISIBLE when its key (type@url) appears in
+    parent.history + [parent key] (per-traversal hasSeen,
+    lib/request.js:66-74,146-150) — this alone bounds cyclic revisits;
     attenuate within batch (first by (parent pop_seq, edge, dst_url) per
-    dst_url) [J4]; drop urls in seen or still in frontier [J1/J5]; drop
-    robots-denied urls (path prefix match → excluded log) [F1/robots];
-    survivors get enqueue_seq = next_seq + rank(parent pop_seq, dst_url),
-    attempt=0.
+    dst_url) [J4]; drop urls still in the frontier [J5]; drop urls in the
+    global seen set UNLESS the child's freshness policy is 'always'
+    (revisit-policies may re-crawl; 'match' and friends defer to the dedup
+    cache) [J1/U2]; drop robots-denied urls (→ excluded) [F1]; survivors
+    inherit the winning parent's policy with map_path descended one step
+    (traversalPolicy.js:154-160) and history extended by the parent key;
+    enqueue_seq = next_seq + rank(parent pop_seq, dst_url).
  8. requeued rows re-enter after children: enqueue_seq ordered by pop_seq.
- 9. bucket level -= popped count per host.
-10. round metrics; stop when the frontier is empty.
+ 9. bucket level -= Σ compute cost of popped rows per host; when
+    bench_on_throttle is set, a host that took a TRANSIENT (throttle-class)
+    failure this round is benched: bench_until = r + bench_rounds
+    (403-retry-after benching, githubFetcher.js:176-192).
+10. round metrics; stop when the frontier is empty and no events pend.
 
-Robots check also applies to the SEED list at enqueue time.
+Robots + malformed checks also apply to the SEED list at enqueue time.
+Defaults (policy originStorage:match@/, no payload, no costs/traits/bench,
+empty events) reproduce ROUND SPEC v1 verbatim — pinned by the preexisting
+oracle tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
 from dataclasses import dataclass, field
 
 WEIGHT_SCALE = 2520
-TIER_WEIGHTS = {"immediate": 3, "soon": 2, "normal": 3, "later": 2}
+TIER_WEIGHTS = {"events": 10, "immediate": 3, "soon": 2, "normal": 3, "later": 2}
+
+IMMUTABLE_TYPES = ("image",)
+EVENT_POLICY = ("originStorage", "always", "/")
+
+_URL_RE = re.compile(r"^https?://")
 
 
 def stable_hash(s: str) -> int:
@@ -68,12 +115,61 @@ def path_of(url: str) -> str:
     return "/" + rest.split("/", 1)[1] if "/" in rest else "/"
 
 
+def is_malformed(url, type_) -> bool:
+    """F3 pre-filter (lib/crawler.js:563-576 routes these to deadletter)."""
+    return not url or not type_ or not _URL_RE.match(url)
+
+
+def is_transient_fail(url: str, attempt: int) -> bool:
+    """Secondary-throttle analog: recovers at attempt 2, benches the host
+    when bench_on_throttle is set."""
+    return stable_hash(url) % 11 == 3 and attempt < 2
+
+
+def is_permanent_fail(url: str) -> bool:
+    """Bailed analog: requeues until max_attempts → deadletter."""
+    return stable_hash(url) % 23 == 5
+
+
 def fails_fetch(url: str, attempt: int) -> bool:
-    """Deterministic failure injection: hash%11==3 → transient (secondary
-    throttle analog, recovers at attempt 2); hash%23==5 → permanent (Bailed
-    analog, requeues until max_attempts → deadletter)."""
-    h = stable_hash(url)
-    return h % 23 == 5 or (h % 11 == 3 and attempt < 2)
+    return is_permanent_fail(url) or is_transient_fail(url, attempt)
+
+
+def fetch_source(policy_fetch: str, type_: str, stored: bool) -> str:
+    """Python twin of plans/policy.fetch_source (traversalPolicy.js:205-223)."""
+    immutable = type_ in IMMUTABLE_TYPES
+    if policy_fetch == "storageOnly":
+        return "storage" if stored else "skip"
+    if policy_fetch == "originOnly":
+        return "origin"
+    if policy_fetch == "storageOriginIfMissing":
+        return "storage" if stored else "origin"
+    # mutables / originStorage (default)
+    if stored and immutable:
+        return "storage"
+    if stored:
+        return "etag" if policy_fetch in ("mutables", "originStorage") else "origin"
+    return "origin"
+
+
+def should_process(
+    freshness: str,
+    content_from_origin: bool,
+    stored_version: int,
+    current_version: int,
+    age_rounds: int,
+) -> bool:
+    """Python twin of plans/policy.should_process (traversalPolicy.js:170-188).
+    Callers guarantee the document IS stored (unstored docs always process)."""
+    if freshness == "always":
+        return True
+    if freshness == "match":
+        return content_from_origin
+    if freshness == "version":
+        return stored_version < current_version
+    if freshness == "matchOrVersion":
+        return content_from_origin or stored_version < current_version
+    return age_rounds > int(freshness)  # numeric: N rounds as the day analog
 
 
 @dataclass
@@ -87,6 +183,12 @@ class SimConfig:
     robots_deny: dict = field(default_factory=dict)  # host -> [path prefixes]
     visitor_map: dict | None = None  # {parent_type: {edge: child_type}}
     inject_failures: bool = True
+    processor_version: int = 1
+    compute_costs: dict | None = None  # type -> integer cost (None = all 1)
+    trait_budgets: dict | None = None  # trait -> per-round cap (None = off)
+    type_traits: dict | None = None  # type -> trait (default: the type)
+    bench_on_throttle: bool = False
+    bench_rounds: int = 2
 
 
 @dataclass
@@ -97,6 +199,11 @@ class FrontierRow:
     host: str
     enqueue_seq: int
     attempt: int = 0
+    policy_fetch: str = "originStorage"
+    policy_freshness: str = "match"
+    map_path: str = "/"
+    history: tuple = ()
+    payload_id: str | None = None
 
 
 class ReferenceSimulator:
@@ -109,12 +216,15 @@ class ReferenceSimulator:
         self.cfg = cfg
         self.frontier: list[FrontierRow] = []
         self.seen: set[str] = set()
+        self.stored: dict[str, tuple[int, int]] = {}  # url -> (round, version)
         self.levels: dict[str, int] = {}
+        self.bench_until: dict[str, int] = {}
         self.order_log: list[dict] = []
         self.deadletter: list[dict] = []
         self.excluded: list[dict] = []
         self.docs: list[dict] = []
         self.metrics: list[dict] = []
+        self.pending_events: list[dict] = []
         self.next_seq = 0
         self.round = 0
 
@@ -122,25 +232,92 @@ class ReferenceSimulator:
         host = host_of(url)
         return any(path_of(url).startswith(p) for p in self.cfg.robots_deny.get(host, ()))
 
+    def _cost(self, type_: str) -> int:
+        if self.cfg.compute_costs is None:
+            return 1
+        return int(self.cfg.compute_costs.get(type_, 1))
+
+    def _trait(self, type_: str) -> str:
+        return (self.cfg.type_traits or {}).get(type_, type_)
+
     def seed(self, seeds: list[dict]) -> None:
-        for s in sorted(seeds, key=lambda x: x["url"]):
+        for s in sorted(seeds, key=lambda x: (x.get("url") or "")):
+            if is_malformed(s.get("url"), s.get("type")):
+                self.deadletter.append(
+                    {"url": s.get("url") or "", "type": s.get("type") or "",
+                     "tier": s.get("tier") or "", "round": 0, "attempt": 0,
+                     "reason": "malformed"}
+                )
+                continue
             if self._denied(s["url"]):
                 self.excluded.append({"url": s["url"], "round": 0})
                 continue
             self.next_seq += 1
             self.frontier.append(
                 FrontierRow(
-                    url=s["url"], type=s["type"], tier=s["tier"],
+                    url=s["url"], type=s["type"], tier=s.get("tier", "normal"),
                     host=host_of(s["url"]), enqueue_seq=self.next_seq,
+                    policy_fetch=s.get("policy_fetch", "originStorage"),
+                    policy_freshness=s.get("policy_freshness", "match"),
+                    map_path=s.get("map_path", "/"),
                 )
             )
 
+    def inject_events(self, events: list[dict]) -> None:
+        """Stage webhook-style events; absorbed at the next round start.
+        Each: {url, type, event_ms, payload_id?}."""
+        self.pending_events.extend(events)
+
+    def _absorb_events(self) -> int:
+        if not self.pending_events:
+            return 0
+        pf, fresh, mp = EVENT_POLICY
+        events = sorted(
+            self.pending_events,
+            key=lambda x: (x.get("event_ms", 0), x.get("url") or "", x.get("type") or ""),
+        )
+        self.pending_events = []
+        inflight = {r.url for r in self.frontier}
+        valid: dict[str, dict] = {}
+        for e in events:
+            if is_malformed(e.get("url"), e.get("type")):
+                self.deadletter.append(
+                    {"url": e.get("url") or "", "type": e.get("type") or "",
+                     "tier": "events", "round": self.round, "attempt": 0,
+                     "reason": "malformed"}
+                )
+                continue
+            if e["url"] not in valid:
+                valid[e["url"]] = e  # first occurrence per url wins (J4)
+        absorbed = 0
+        for u in sorted(valid):  # enqueue_seq assigned in url order
+            e = valid[u]
+            if self._denied(u):
+                self.excluded.append({"url": u, "round": self.round})
+                continue
+            if u in inflight:
+                continue  # in-flight dedup; freshness 'always' ignores seen
+            self.next_seq += 1
+            self.frontier.append(
+                FrontierRow(
+                    url=u, type=e["type"], tier="events", host=host_of(u),
+                    enqueue_seq=self.next_seq, policy_fetch=pf,
+                    policy_freshness=fresh, map_path=mp,
+                    payload_id=e.get("payload_id"),
+                )
+            )
+            absorbed += 1
+        return absorbed
+
     def run_round(self) -> bool:
         """One round; returns False when the frontier was empty (done)."""
-        if not self.frontier:
+        if not self.frontier and not self.pending_events:
             return False
         self.round += 1
         cfg = self.cfg
+
+        # 0. event ingest
+        n_ingested = self._absorb_events()
 
         # 1. refill (all known + current hosts — levels recover while idle)
         hosts = {r.host for r in self.frontier} | set(self.levels)
@@ -160,13 +337,33 @@ class ReferenceSimulator:
                  "attempt": r.attempt, "reason": "max_attempts"}
             )
 
-        # 3. politeness
+        # 3. politeness: benched hosts withheld; cumulative-cost budget
         by_host: dict[str, list[FrontierRow]] = {}
         for r in sorted(self.frontier, key=lambda x: x.enqueue_seq):
             by_host.setdefault(r.host, []).append(r)
         polite: list[FrontierRow] = []
         for h, rows in by_host.items():
-            polite.extend(rows[: max(self.levels[h], 0)])
+            if self.bench_until.get(h, 0) >= self.round:
+                continue
+            budget = max(self.levels[h], 0)
+            spent = 0
+            for r in rows:
+                spent += self._cost(r.type)
+                if spent > budget:
+                    break
+                polite.append(r)
+
+        # 3b. trait caps
+        if cfg.trait_budgets is not None:
+            by_trait: dict[str, int] = {}
+            capped = []
+            for r in sorted(polite, key=lambda x: x.enqueue_seq):
+                t = self._trait(r.type)
+                n = by_trait.get(t, 0) + 1
+                if n <= cfg.trait_budgets.get(t, 10**9):
+                    capped.append(r)
+                    by_trait[t] = n
+            polite = capped
 
         # 4. weighted rotation + round capacity
         by_tier: dict[str, list[FrontierRow]] = {}
@@ -182,66 +379,117 @@ class ReferenceSimulator:
         selected_urls = {r.url for r in selected}
         self.frontier = [r for r in self.frontier if r.url not in selected_urls]
 
-        # 5-6. fetch + outcomes
+        # 5-6. fetch + outcomes (ROUND SPEC v2 decision table)
         requeued: list[FrontierRow] = []
         traversed: list[tuple[int, FrontierRow]] = []
+        throttled_hosts: set[str] = set()
+        new_docs: list[tuple[str, str]] = []  # (url, image_id) upserts
         for pop_seq, r in enumerate(selected, start=1):
-            if cfg.inject_failures and fails_fetch(r.url, r.attempt):
+            stored = r.url in self.stored
+            fsrc = fetch_source(r.policy_fetch, r.type, stored)
+            if r.payload_id is not None:
+                outcome = "Processed"
+                new_docs.append((r.url, r.payload_id))
+                self.seen.add(r.url)
+            elif (
+                cfg.inject_failures
+                and fsrc in ("origin", "etag")
+                and fails_fetch(r.url, r.attempt)
+            ):
                 outcome = "Requeued"
+                if is_transient_fail(r.url, r.attempt):
+                    throttled_hosts.add(r.host)
                 r.attempt += 1
                 requeued.append(r)
-            elif r.type == "image":
-                if r.url in self.corpus:
-                    outcome = "Processed"
-                    self.docs.append(
-                        {"image_id": self.corpus[r.url], "url": r.url,
-                         "round": self.round}
-                    )
-                else:
-                    outcome = "Missing"
+            elif fsrc == "skip":
+                outcome = "Skipped"
                 self.seen.add(r.url)
-            else:
+            elif r.type != "image":
                 outcome = "Traversed"
                 self.seen.add(r.url)
                 traversed.append((pop_seq, r))
+            else:
+                if fsrc == "origin" and r.url not in self.corpus:
+                    outcome = "Missing"
+                else:
+                    # storage/etag arrive unchanged (static corpus → 304)
+                    from_origin = fsrc == "origin"
+                    if not stored:
+                        process = True
+                    else:
+                        srnd, sver = self.stored[r.url]
+                        process = should_process(
+                            r.policy_freshness, from_origin, sver,
+                            cfg.processor_version, self.round - srnd,
+                        )
+                    if process:
+                        outcome = "Processed"
+                        image_id = self.corpus.get(r.url)
+                        if image_id is None and stored:
+                            image_id = f"stored:{r.url}"
+                        new_docs.append((r.url, image_id))
+                    else:
+                        outcome = "Unchanged"
+                self.seen.add(r.url)
             self.order_log.append(
                 {"seq": len(self.order_log) + 1, "round": self.round,
                  "pop_seq": pop_seq, "url": r.url, "type": r.type,
                  "tier": r.tier, "host": r.host, "outcome": outcome}
             )
+        for url, image_id in new_docs:
+            self.stored[url] = (self.round, cfg.processor_version)
+            self.docs.append(
+                {"image_id": image_id, "url": url, "round": self.round,
+                 "version": cfg.processor_version}
+            )
 
-        # 9. bucket spend (all popped rows consumed a fetch slot)
+        # 9. bucket spend (compute cost per popped row) + benching
         for r in selected:
-            self.levels[r.host] -= 1
+            self.levels[r.host] -= self._cost(r.type)
+        if cfg.bench_on_throttle:
+            for h in throttled_hosts:
+                self.bench_until[h] = self.round + cfg.bench_rounds
 
         # 7. children (requeued rows are still in-flight → count as frontier)
         frontier_urls = {r.url for r in self.frontier} | {r.url for r in requeued}
-        best: dict[str, tuple] = {}  # dst_url -> (parent_pop, edge, dst_type)
+        best: dict[str, tuple] = {}  # dst_url -> (parent_pop, edge, dst, dst_type, parent)
         for pop_seq, parent in traversed:
+            parent_key = f"{parent.type}@{parent.url}"
+            blocked = set(parent.history) | {parent_key}
             for edge, dst, dst_type in self.links.get(parent.url, ()):
                 if cfg.visitor_map is not None and edge not in cfg.visitor_map.get(
                     parent.type, {}
                 ):
                     continue
+                if f"{dst_type}@{dst}" in blocked:
+                    continue  # per-traversal hasSeen (U2)
                 key = (pop_seq, edge, dst)
                 if dst not in best or key < best[dst][:3]:
-                    best[dst] = (pop_seq, edge, dst, dst_type)
+                    best[dst] = (pop_seq, edge, dst, dst_type, parent)
         children = []
-        for dst, (ppop, edge, _, dst_type) in best.items():
-            if dst in self.seen or dst in frontier_urls:
+        for dst, (ppop, edge, _, dst_type, parent) in best.items():
+            if dst in frontier_urls:
+                continue
+            if dst in self.seen and parent.policy_freshness != "always":
                 continue
             if self._denied(dst):
                 self.excluded.append({"url": dst, "round": self.round})
                 continue
-            children.append((ppop, dst, edge, dst_type))
+            children.append((ppop, dst, edge, dst_type, parent))
         children.sort(key=lambda x: (x[0], x[1]))
-        for ppop, dst, edge, dst_type in children:
+        for ppop, dst, edge, dst_type, parent in children:
             self.next_seq += 1
+            mp = parent.map_path
+            next_mp = f"/{edge}" if mp == "/" else f"{mp}/{edge}"
             self.frontier.append(
                 FrontierRow(
                     url=dst, type=dst_type,
                     tier="soon" if edge == "images" else "normal",
                     host=host_of(dst), enqueue_seq=self.next_seq,
+                    policy_fetch=parent.policy_fetch,
+                    policy_freshness=parent.policy_freshness,
+                    map_path=next_mp,
+                    history=tuple(parent.history) + (f"{parent.type}@{parent.url}",),
                 )
             )
 
@@ -254,7 +502,8 @@ class ReferenceSimulator:
         self.metrics.append(
             {"round": self.round, "selected": len(selected),
              "children": len(children), "requeued": len(requeued),
-             "deadlettered": len(dead), "frontier_after": len(self.frontier)}
+             "deadlettered": len(dead), "frontier_after": len(self.frontier),
+             "ingested": n_ingested}
         )
         return True
 

@@ -2,21 +2,30 @@
 
 The reference accepts HTTP webhook events, verifies them, and enqueues
 `event_trigger` requests on a high-priority `events` queue
-(routes/webhook.js:14-53; queue weight 10, lib/crawlerFactory.js:86). Here
-the equivalent is a streaming source (Kafka/rate/file in production; any
-streaming DataFrame here) flowing into the frontier's high-priority tier:
+(routes/webhook.js:14-53; queue weight 10, lib/crawlerFactory.js:86,680-685).
+Here the equivalent is a streaming source (Kafka/rate/file in production; any
+streaming DataFrame here) flowing into a STAGING directory the batch round
+engine absorbs at every round start (CrawlConfig.ingest_dir →
+CrawlEngine._absorb_events, ROUND SPEC v2 step 0):
 
-  readStream → canonicalize/hash (same Column exprs as batch) →
-  intra-batch attenuation (J4) → foreachBatch append into the frontier
-  delta directory the batch round engine already consumes.
+  readStream → canonicalize (same Column exprs as batch) →
+  intra-batch attenuation (J4) → foreachBatch append of RAW staged events
+  (url, type, event_ms, payload_id) into the staging dir.
 
-foreachBatch (not a direct writeStream sink) because enqueue must apply the
-same batch semantics as the engine's own pushes — dedup within the
-micro-batch, deterministic enqueue_seq assignment — and because appends then
-share the engine's snapshot/commit model. Watermarking bounds the
-cross-batch dedup state exactly like the reference's tracker TTL
-(redisRequestTracker.js:106-111): within the watermark a duplicate event is
-Attenuated; past it, the engine's seen-set anti-join still catches it.
+The engine — not this producer — assigns enqueue_seq, applies malformed/
+robots/in-flight dedup, routes rows onto the `events` tier (weight 10), and
+accounts for them in the manifest (frontier_size/next_seq/'ingested'). That
+split preserves the store's single-writer invariant: the streaming query
+never touches engine tables, so no per-message broker lease/reclaim is
+needed (amqp10Queue.js:163-189 analog — see round_engine module doc).
+
+Events may carry an inline document id (payload_id): the engine processes
+those without a fetch (lib/crawler.js:348-358, routes/webhook.js:42).
+
+Watermarking bounds the cross-batch dedup state exactly like the reference's
+tracker TTL (redisRequestTracker.js:106-111): within the watermark a
+duplicate event is dropped here; past it, the engine's in-flight/seen rules
+still apply at absorb time.
 """
 
 from __future__ import annotations
@@ -24,60 +33,59 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ghcrawler_spark.functions.urls import canonicalize_url, extract_host
-from ghcrawler_spark.hashing import stable_long_hash
+from ghcrawler_spark.functions.urls import canonicalize_url
 
-EVENTS_TIER = "soon"  # highest batch tier (events:10 analog)
+EVENTS_TIER = "events"  # weight 10 (crawlerFactory.js:86)
+
+STAGED_SCHEMA = "url string, type string, event_ms long, payload_id string"
 
 
-def events_to_frontier_rows(events: DataFrame, seq_base_col: str = "event_ms") -> DataFrame:
-    """Pure transformation (works on streaming and batch frames): event rows
-    (url, type, ts) → frontier-shaped rows on the events tier. enqueue_seq
-    derives from the event timestamp + url hash (deterministic, collision-
-    free enough for FIFO-within-tier ordering of an event stream)."""
-    canon = canonicalize_url("url")
+def events_to_staged_rows(events: DataFrame) -> DataFrame:
+    """Pure transformation (works on streaming and batch frames): raw event
+    rows (url, type, ts[, payload_id]) → staged rows for the engine's ingest
+    dir. event_ms orders first-occurrence-wins attenuation at absorb time."""
+    cols = set(events.columns)
+    payload = (
+        F.col("payload_id") if "payload_id" in cols else F.lit(None)
+    ).cast("string")
     return events.select(
-        canon.alias("url"),
+        canonicalize_url("url").alias("url"),
         F.col("type"),
-        F.lit(EVENTS_TIER).alias("tier"),
-        extract_host("url").alias("host"),
-        (
-            F.unix_millis(F.col("ts")) * 1024
-            + F.pmod(stable_long_hash(canon), 1024)
-        ).alias("enqueue_seq"),
-        F.lit(0).cast("int").alias("attempt"),
+        F.unix_millis(F.col("ts")).alias("event_ms"),
+        payload.alias("payload_id"),
     )
 
 
 def attach_event_stream(
     events_stream: DataFrame,
-    frontier_delta_dir: str,
+    staging_dir: str,
     checkpoint_dir: str,
     watermark: str = "10 seconds",
-    query_name: str = "events-to-frontier",
+    query_name: str = "events-to-staging",
 ):
-    """Wire a streaming event frame into the frontier directory.
+    """Wire a streaming event frame into the engine's staging directory.
 
     Returns the StreamingQuery. Use trigger(availableNow=True) semantics in
     tests; in production this runs continuously while the round engine does
-    batch rounds — the engine picks up whatever has been appended by the
-    time a round starts (same contract as the reference, where webhook
-    pushes land on the events queue between pops).
+    batch rounds — each round absorbs whatever part-files have landed by the
+    time it starts (same contract as the reference, where webhook pushes
+    land on the events queue between pops). Pass the same ``staging_dir`` as
+    CrawlConfig.ingest_dir.
     """
     deduped = events_stream.withWatermark("ts", watermark).dropDuplicates(
         ["url", "type"]
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        rows = events_to_frontier_rows(batch_df)
+        rows = events_to_staged_rows(batch_df)
         # intra-batch attenuation: first occurrence per url wins (J4)
-        w = Window.partitionBy("url").orderBy("enqueue_seq")
+        w = Window.partitionBy("url").orderBy("event_ms", "type")
         rows = (
             rows.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        rows.write.mode("append").parquet(frontier_delta_dir)
+        rows.write.mode("append").parquet(staging_dir)
 
     return (
         deduped.writeStream.foreachBatch(sink)

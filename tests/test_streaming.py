@@ -1,20 +1,18 @@
 """Streaming event front-end: events flow through the streaming pipeline
-into frontier-shaped rows; duplicates are attenuated; restart with the same
+into staged ingest rows; duplicates are attenuated; restart with the same
 checkpoint doesn't double-append (exactly-once via checkpoint + availableNow)."""
 
 import os
-import time
 
 from pyspark.sql import functions as F
 
 from ghcrawler_spark.streaming.event_source import (
-    EVENTS_TIER,
     attach_event_stream,
-    events_to_frontier_rows,
+    events_to_staged_rows,
 )
 
 
-def test_events_to_frontier_rows_shape(spark):
+def test_events_to_staged_rows_shape(spark):
     ev = spark.createDataFrame(
         [
             ("HTTP://Host.test:80//a/?q=1", "page", "2024-01-01 00:00:01"),
@@ -22,18 +20,17 @@ def test_events_to_frontier_rows_shape(spark):
         ],
         "url string, type string, ts string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    rows = events_to_frontier_rows(ev).collect()
-    assert all(r["tier"] == EVENTS_TIER for r in rows)
+    rows = events_to_staged_rows(ev).collect()
     by_type = {r["type"]: r for r in rows}
-    assert by_type["page"]["url"] == "http://host.test/a"
-    assert by_type["page"]["host"] == "host.test"
-    # FIFO: later event gets larger enqueue_seq
-    assert by_type["image"]["enqueue_seq"] > by_type["page"]["enqueue_seq"]
+    assert by_type["page"]["url"] == "http://host.test/a"  # canonicalized
+    assert by_type["page"]["payload_id"] is None
+    # FIFO: later event gets larger event_ms (absorb-order key)
+    assert by_type["image"]["event_ms"] > by_type["page"]["event_ms"]
 
 
-def test_stream_to_frontier_with_dedup_and_restart(spark, tmp_path):
+def test_stream_to_staging_with_dedup_and_restart(spark, tmp_path):
     src = str(tmp_path / "src")
-    frontier = str(tmp_path / "frontier_delta")
+    staging = str(tmp_path / "staging")
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(src)
 
@@ -50,18 +47,17 @@ def test_stream_to_frontier_with_dedup_and_restart(spark, tmp_path):
     stream = spark.readStream.schema(
         "url string, type string, ts timestamp"
     ).parquet(src)
-    q = attach_event_stream(stream, frontier, ckpt)
+    q = attach_event_stream(stream, staging, ckpt)
     q.awaitTermination(60)
 
-    out = spark.read.parquet(frontier)
+    out = spark.read.parquet(staging)
     urls = sorted(r["url"] for r in out.collect())
     assert urls == ["http://h1.test/p1", "http://h2.test/p2"]  # dup attenuated
-    assert {r["tier"] for r in out.collect()} == {EVENTS_TIER}
 
     # restart with same checkpoint + same input: no double-append
     stream2 = spark.readStream.schema(
         "url string, type string, ts timestamp"
     ).parquet(src)
-    q2 = attach_event_stream(stream2, frontier, ckpt)
+    q2 = attach_event_stream(stream2, staging, ckpt)
     q2.awaitTermination(60)
-    assert spark.read.parquet(frontier).count() == 2
+    assert spark.read.parquet(staging).count() == 2
