@@ -134,7 +134,7 @@ def main() -> None:
         )
         eng.seed(universe)
         t0 = time.perf_counter()
-        n_rounds = 2
+        n_rounds = 3
         for _ in range(n_rounds):
             eng.run_round()
         engine_wall = time.perf_counter() - t0

@@ -10,6 +10,10 @@
   before any arithmetic. Recall is partial by construction (LSH); the
   correctness gate compares it against a DuckDB oracle implementing the
   *same* bucketing, so determinism — not recall — is what's pinned.
+- ``ann_multiprobe``: the real ANN index shape — 8-bit sign buckets (256
+  partitions, each probe scans ~N/256) with Hamming-1 MULTI-PROBE on the
+  query side (9 probes/query), recovering the recall the single-bucket
+  variant loses to sign flips near hyperplanes. Same determinism contract.
 - ``embedding_near_dup_pairs``: all corpus pairs with cosine ≥ τ (exact,
   a<b). The bucketed variant prunes with the same sign-bucket equality.
 """
@@ -19,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ghcrawler_spark.functions.vectors import COSINE_ROUND, dot, norm, sign_bucket
+from ghcrawler_spark.functions.vectors import (
+    BUCKET_DIMS_8,
+    COSINE_ROUND,
+    dot,
+    multiprobe_buckets,
+    norm,
+    sign_bucket,
+)
 
 
 def ann_bruteforce(
@@ -131,4 +142,46 @@ def embedding_near_dup_pairs(
             F.col("b.id").alias("id_b"),
             F.col("score").alias("score"),
         )
+    )
+
+
+def ann_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    k: int = 5,
+    dims: tuple = BUCKET_DIMS_8,
+) -> DataFrame:
+    """Multi-probe LSH top-k: 2^|dims| sign buckets; each query probes its
+    own bucket plus every Hamming-1 neighbor (one flipped sign bit). At scale
+    this is an equi-join of the corpus (partitioned once by bucket) against
+    an exploded probe list — |probes|·N/2^|dims| candidate rows per query
+    instead of N, with recall far above the single-bucket join."""
+    n_bits = len(dims)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_vn"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(query_vec_col).alias("_q"),
+        norm(F.col(query_vec_col)).alias("_qn"),
+        F.explode(
+            multiprobe_buckets(sign_bucket(F.col(query_vec_col), dims), n_bits)
+        ).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "score",
+        F.round(dot(F.col("_v"), F.col("_q")) / (F.col("_vn") * F.col("_qn")), COSINE_ROUND),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "score", "rnk")
     )

@@ -1164,6 +1164,117 @@ def s4_lease_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "n3_ann_multiprobe",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec,
+                      {V.sign_bucket_sql('embedding', V.BUCKET_DIMS_8)} AS bucket
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    probes AS (
+      SELECT qid, qvec,
+             unnest({V.multiprobe_buckets_sql('bucket', len(V.BUCKET_DIMS_8))})
+               AS bucket
+      FROM q
+    ),
+    c AS (SELECT vec_id, embedding,
+                 {V.sign_bucket_sql('embedding', V.BUCKET_DIMS_8)} AS bucket
+          FROM embeddings),
+    scored AS (
+      SELECT p.qid, c.vec_id,
+             {V.cosine_sql('c.embedding', 'p.qvec')} AS score
+      FROM c JOIN probes p USING (bucket)
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC)
+                  AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rnk FROM ranked WHERE rnk <= {_ANN_K}
+    """,
+)
+def n3_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (the real index shape): 8-bit sign buckets (256
+    partitions — each probe scans ~N/256) + Hamming-1 probe fan-out on the
+    query side. Far better recall than the single-bucket join (n2) at ~9/256
+    of the brute-force cost (n1)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = S.ann_multiprobe(emb, q, k=_ANN_K)
+    return out.select("qid", "vec_id", "score", F.col("rnk").cast("long").alias("rnk"))
+
+
+@register(
+    "d7_dedup_keeplist",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_JACCARD_PAIRS_SQL}) WHERE jaccard >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    ),
+    labels AS (
+      SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id
+    )
+    SELECT cluster_id, CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS cluster_size
+    FROM labels GROUP BY cluster_id
+    """,
+)
+def d7_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final artifact: one KEEPER per near-dup cluster
+    (smallest doc id) + cluster size — what a training-data pipeline actually
+    joins against to drop duplicates."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    labels = D.connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    return labels.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+
+
+@register("v1_image_validation", None)  # binary pipeline — rows-only check
+def v1_image_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 / north_rule per-row invariant as a driver-gate entry: decode the
+    fetched payload and validate PSNR ≥ 40 dB + caption equality against the
+    reference pixels (functions/images.validate_against_reference). Binary
+    columns are not DuckDB-expressible, so this registers without an oracle
+    (rows-only check); exact pixel math is pinned by tests/test_images.py.
+    The corpus is the deterministic seeded fixture (no external data)."""
+    from ghcrawler_spark import fixtures
+    from ghcrawler_spark.functions.images import validate_against_reference
+
+    fx = fixtures.generate(seed=7, n_hosts=3)
+    corpus, _links, _seeds = fixtures.to_spark(spark, fx)
+    fetched = corpus.select("image_id", "bytes", "fmt", "caption")
+    ref = corpus.select(
+        "image_id",
+        F.col("ref_bytes").alias("bytes"),
+        F.lit("png").alias("fmt"),
+        "caption",
+    )
+    out = validate_against_reference(fetched, ref)
+    return out.select(
+        "image_id",
+        "fmt",
+        F.least(F.round("psnr_db", 2), F.lit(99.0)).alias("psnr_db"),
+        "caption_ok",
+        "valid",
+    ).orderBy("image_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -54,9 +54,15 @@ def test_entry_contract(spark):
     ]
 
 
+# binary/image pipelines are not DuckDB-expressible — registered without an
+# oracle on purpose (driver records the weaker rows-only check for these)
+ORACLE_EXEMPT = {"v1_image_validation"}
+
+
 def test_every_query_has_oracle():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    assert set(oracles) == set(qs)
+    assert set(oracles) == set(qs) - ORACLE_EXEMPT
+    assert ORACLE_EXEMPT <= set(qs)
 
 
 @pytest.mark.parametrize("name", FAST_SUBSET)
