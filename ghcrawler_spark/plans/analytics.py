@@ -1275,6 +1275,38 @@ def v1_image_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
+
+
+@register(
+    "t3_quality_filter",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {T.predicted_lang_sql('text')} AS pred_lang,
+             {T.quality_score_sql('text')} AS quality,
+             CAST({T.token_count_ws_sql('text')} AS BIGINT) AS tok_ws
+      FROM documents
+    )
+    SELECT doc_id, pred_lang, quality, tok_ws FROM scored
+    WHERE quality >= 0.3 AND tok_ws BETWEEN 5 AND 1000
+    """,
+)
+def t3_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filtering keep-list a training pipeline applies after
+    scoring: language + quality + length gates over the scored documents
+    (composition of the t1 signals into the actual filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.predicted_lang("text").alias("pred_lang"),
+        T.quality_score("text").alias("quality"),
+        T.token_count_ws("text").cast("long").alias("tok_ws"),
+    )
+    return scored.filter(
+        (F.col("quality") >= 0.3) & F.col("tok_ws").between(5, 1000)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -125,6 +125,14 @@ class CrawlConfig:
     bench_on_throttle: bool = False  # 403-style bench (tokenFactory.js:41-93)
     bench_rounds: int = 2
     ingest_dir: str | None = None  # staged event batches absorbed per round
+    # hot-host skew: hosts with more than politeness_hot_threshold frontier
+    # rows (default bucket_capacity x 64) get a SALTED top-capacity pre-cut
+    # per (host, salt) before the exact per-host cumulative window, so the
+    # window never sorts a whole hot host in one task (north_star: salted
+    # repartitioning by host-hash). Cold hosts skip the extra pass entirely.
+    # politeness_salt=0 disables.
+    politeness_salt: int = 16
+    politeness_hot_threshold: int | None = None
 
 
 def _path_col(url):
@@ -344,6 +352,15 @@ class CrawlEngine:
         manifest = self.store.read_manifest()
         return self._read_frontier(manifest["current"], self._bases(manifest))
 
+    def frontier_at(self, version: int) -> DataFrame:
+        """TIME TRAVEL: the exact frontier view as of any committed round —
+        the per-version manifest (snapshot metadata) pins that round's base
+        pointers, so the merge-on-read assembly reproduces historical state
+        byte-for-byte (Iceberg snapshot-read analog; the audit surface for
+        the per-partition lineage table)."""
+        manifest = self.store.read_manifest(version)
+        return self._read_frontier(version, self._bases(manifest))
+
     def current_deadletter(self) -> DataFrame:
         """The live deadletter view at the committed manifest version
         (crawlerService list/count analog, lib/crawlerService.js:91-130)."""
@@ -509,6 +526,7 @@ class CrawlEngine:
                 "bases": {"frontier": 0, "seen": None, "deadletter": 0},
                 "bloom": _bloom_manifest(bloom),
                 "ingested": [],
+                "docs_total": 0,
             },
         )
         self._bloom, self._bloom_version = bloom, 0
@@ -585,6 +603,50 @@ class CrawlEngine:
             .filter(F.col("bench_until") < rnd)
             .withColumn("_cost", cost_col.cast("long"))
         )
+        if cfg.politeness_salt:
+            # ADAPTIVE SALTED two-phase top-k (kills hot-host window skew):
+            # detect hosts past the hot threshold with one partial-agg count,
+            # then pre-cut ONLY their rows per (host, salt) to the top
+            # bucket_capacity by enqueue_seq. Exact: the true budget prefix
+            # (<= bucket_capacity rows, costs >= 1) is among the host's
+            # capacity smallest enqueue_seqs, hence inside every salt
+            # bucket's top-capacity. The cumulative window below then sorts
+            # <= capacity x politeness_salt rows for hot hosts and cold
+            # hosts pay nothing beyond the count.
+            hot_threshold = (
+                cfg.politeness_hot_threshold
+                if cfg.politeness_hot_threshold is not None
+                else cfg.bucket_capacity * 64
+            )
+            # count over the PERSISTED frontier view (one cheap cached
+            # scan) — counting `budgeted` would re-run the whole merge-on-
+            # read + bucket-join pipeline a second time
+            hot = (
+                frontier.groupBy("host")
+                .count()
+                .filter(F.col("count") > hot_threshold)
+                .select(F.col("host").alias("_hot_host"))
+            )
+            marked = budgeted.join(
+                F.broadcast(hot), budgeted.host == F.col("_hot_host"), "left"
+            )
+            cold = marked.filter(F.col("_hot_host").isNull()).drop("_hot_host")
+            w_pre = Window.partitionBy("host", "_salt").orderBy("enqueue_seq")
+            pruned_hot = (
+                marked.filter(F.col("_hot_host").isNotNull())
+                .drop("_hot_host")
+                .withColumn(
+                    "_salt",
+                    F.pmod(
+                        F.xxhash64(F.col("host"), F.col("url")),
+                        F.lit(cfg.politeness_salt),
+                    ),
+                )
+                .withColumn("_pre", F.row_number().over(w_pre))
+                .filter(F.col("_pre") <= cfg.bucket_capacity)
+                .drop("_salt", "_pre")
+            )
+            budgeted = cold.unionByName(pruned_hot)
         w_cum = (
             Window.partitionBy("host")
             .orderBy("enqueue_seq")
@@ -640,20 +702,28 @@ class CrawlEngine:
         corpus_keys = self.corpus.select(
             F.col("url").alias("c_url"), F.col("image_id")
         )
-        stored_df = (
-            self.store.read_appends(self.spark, "docs", version)
-            .groupBy(F.col("url").alias("s_url"))
-            .agg(
-                F.max("round").alias("stored_round"),
-                F.max("version").alias("stored_version"),
+        fetched = selected.join(
+            corpus_keys, selected.url == corpus_keys.c_url, "left"
+        ).drop("c_url")
+        # the doc-store lookup only matters once something IS stored — the
+        # manifest's docs_total counter lets an all-new crawl skip the
+        # per-round docs scan + join entirely
+        if manifest.get("docs_total", 1) > 0:
+            stored_df = (
+                self.store.read_appends(self.spark, "docs", version)
+                .groupBy(F.col("url").alias("s_url"))
+                .agg(
+                    F.max("round").alias("stored_round"),
+                    F.max("version").alias("stored_version"),
+                )
             )
-        )
-        fetched = (
-            selected.join(corpus_keys, selected.url == corpus_keys.c_url, "left")
-            .drop("c_url")
-            .join(stored_df, F.col("url") == F.col("s_url"), "left")
-            .drop("s_url")
-        )
+            fetched = fetched.join(
+                stored_df, F.col("url") == F.col("s_url"), "left"
+            ).drop("s_url")
+        else:
+            fetched = fetched.withColumn(
+                "stored_round", F.lit(None).cast("int")
+            ).withColumn("stored_version", F.lit(None).cast("int"))
         url_h = stable_long_hash(F.col("url"))
         stored = F.col("stored_round").isNotNull()
         fsrc = fetch_source(F.col("policy_fetch"), F.col("type"), stored)
@@ -1052,6 +1122,7 @@ class CrawlEngine:
             "frontier_size": n_frontier_after,
             "bases": new_bases,
             "ingested": sorted(set(manifest.get("ingested", [])) | set(pending_files)),
+            "docs_total": manifest.get("docs_total", 0) + hist.get("Processed", 0),
         }
         if cfg.use_bloom:
             extras["bloom"] = _bloom_manifest(bloom)
@@ -1142,6 +1213,7 @@ class CrawlEngine:
             "frontier_size": manifest["frontier_size"] + n_revived,
             "bases": new_bases,
             "ingested": manifest.get("ingested", []),
+            "docs_total": manifest.get("docs_total", 0),
         }
         if "bloom" in manifest:
             # blobs are per-version: carry the previous version's forward

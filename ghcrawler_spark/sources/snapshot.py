@@ -64,14 +64,23 @@ class SnapshotStore:
             df.write.mode("overwrite").parquet(os.path.join(vdir, name))
 
     def commit(self, version: int, extra: dict | None = None) -> None:
-        """Atomically advance the manifest to ``version``."""
+        """Atomically advance the manifest to ``version``. A per-version copy
+        (`_manifest_v{NNNN}.json`, Iceberg's snapshot-metadata analog) is
+        written FIRST, so every committed round stays time-travel readable
+        (`read_manifest(version)`) after later commits move the pointer."""
         manifest = {"current": version}
         if extra:
             manifest.update(extra)
+        blob = json.dumps(manifest)
+        with open(self._version_manifest_path(version), "w") as f:
+            f.write(blob)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            f.write(blob)
         os.replace(tmp, self._manifest_path())
+
+    def _version_manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, f"_manifest_v{version:06d}.json")
 
     def read(self, spark: SparkSession, name: str, version: int | None = None) -> DataFrame:
         if version is None:
@@ -80,8 +89,17 @@ class SnapshotStore:
                 raise FileNotFoundError("empty snapshot store")
         return spark.read.parquet(os.path.join(self._vdir(version), name))
 
-    def read_manifest(self) -> dict:
-        with open(self._manifest_path()) as f:
+    def read_manifest(self, version: int | None = None) -> dict:
+        """The live manifest, or — for time travel — the snapshot metadata of
+        any committed version (only versions ≤ the live pointer are valid:
+        later per-version files may be orphans of a crashed round)."""
+        if version is None:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        current = self.current_version()
+        if current is None or version > current:
+            raise FileNotFoundError(f"version {version} not committed")
+        with open(self._version_manifest_path(version)) as f:
             return json.load(f)
 
     # -- append-only tables ---------------------------------------------------
@@ -139,6 +157,50 @@ class SnapshotStore:
     # a compaction (or the seed) visible, so a crash mid-compaction leaves
     # readers on the previous base (orphan dirs are ignored and overwritten
     # on replay, same as every other write here).
+
+    def expire_snapshots(self, before_version: int) -> list[str]:
+        """Iceberg-style snapshot expiry for long crawls: drop version dirs,
+        per-version manifests, Bloom blob deltas, and MOR state deltas
+        strictly older than ``before_version`` — EXCEPT anything the live
+        manifest still references (current version, base-table versions,
+        deltas newer than their base pointer). History/audit tables
+        (order_log, docs, metrics, lineage, excluded, seen deltas past the
+        seen base) are never expired. Time travel to expired versions stops
+        working, by design. Returns the removed paths."""
+        manifest = self.read_manifest()
+        current = manifest["current"]
+        before_version = min(before_version, current)
+        bases = manifest.get("bases", {}) or {}
+        keep = {current} | {v for v in bases.values() if v is not None}
+        removed: list[str] = []
+
+        def _rm(path: str) -> None:
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+                removed.append(path)
+            elif os.path.exists(path):
+                os.remove(path)
+                removed.append(path)
+
+        for v in range(before_version):
+            if v in keep:
+                continue
+            _rm(self._vdir(v))
+            _rm(self._version_manifest_path(v))
+            _rm(self._delta_dir("bloom", v))
+        # MOR deltas at or before their base pointer are folded into the base
+        mor = (
+            ("frontier_adds", bases.get("frontier")),
+            ("frontier_removes", bases.get("frontier")),
+            ("deadletter_adds", bases.get("deadletter")),
+            ("seen", bases.get("seen")),
+        )
+        for name, bv in mor:
+            if bv is None:
+                continue
+            for v in range(min(before_version, bv + 1)):
+                _rm(self._delta_dir(name, v))
+        return removed
 
     def read_merged(
         self,

@@ -93,3 +93,85 @@ def test_politeness_never_exceeds_budget_under_skew(spark, hot_rows, budget):
     per_host = {r["host"]: r["count"] for r in out.groupBy("host").count().collect()}
     assert all(v <= budget for v in per_host.values())
     assert per_host["hot.test"] == min(budget, hot_rows)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    urls=st.lists(
+        st.text(alphabet="abcdefgh/.:0123456789", min_size=1, max_size=24),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_scalable_rank_by_key_matches_global_sort(spark, urls, parts):
+    """Property: the range-partitioned distributed rank equals the position
+    in the globally sorted key list, at any input partitioning."""
+    from ghcrawler_spark.operators.frontier_ops import scalable_rank_by_key
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"]).repartition(parts)
+    persisted = []
+    got = {
+        r["url"]: r["rank"]
+        for r in scalable_rank_by_key(df, ["url"], "rank", buckets=4,
+                                      persisted=persisted).collect()
+    }
+    want = {u: i + 1 for i, u in enumerate(sorted(urls))}
+    assert got == want
+    for f in persisted:
+        f.unpersist()
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    shingles=st.lists(st.text(min_size=0, max_size=12), min_size=1, max_size=40),
+    seed_i=st.integers(min_value=0, max_value=63),
+)
+def test_minhash_affine_family_range_and_python_parity(shingles, seed_i):
+    """The universal-hash MinHash members stay inside [0, 2^31-1) and the
+    Python re-derivation matches the algebra the Spark/DuckDB twins inline."""
+    import hashlib
+
+    from ghcrawler_spark.hashing import MERSENNE31, minhash_affine_params
+
+    a, b = minhash_affine_params(seed_i)
+    assert 1 <= a < MERSENNE31 and 0 <= b < MERSENNE31
+    for sh in shingles:
+        h = int(hashlib.md5(sh.encode()).hexdigest()[:15], 16) % MERSENNE31
+        member = (h * a + b) % MERSENNE31
+        assert 0 <= member < MERSENNE31
+        assert h * a + b < 2**63  # the int64 overflow guarantee
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_rows=st.integers(min_value=1, max_value=40),
+    budget=st.integers(min_value=1, max_value=8),
+)
+def test_unit_cost_cumsum_equals_rank_politeness(spark, n_rows, budget):
+    """ROUND SPEC v2 invariant: with unit compute costs, the cumulative-cost
+    politeness window selects exactly the rank<=budget prefix per host."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ghcrawler_spark.operators.frontier_ops import host_topk
+
+    rows = [(i, f"h{i % 3}.test") for i in range(n_rows)]
+    df = spark.createDataFrame(rows, ["seq", "host"])
+    w = (
+        Window.partitionBy("host")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = {
+        (r["host"], r["seq"])
+        for r in df.withColumn("c", F.sum(F.lit(1)).over(w))
+        .filter(F.col("c") <= budget)
+        .collect()
+    }
+    rank = {
+        (r["host"], r["seq"])
+        for r in host_topk(df, "host", ["seq"], k=budget).collect()
+    }
+    assert cum == rank

@@ -182,3 +182,72 @@ def test_rounds_write_only_touched_state(spark, fx, sim_result, tmp_path):
     log, seen = _collect_state(spark, store2)
     assert log == sim_result.order_log
     assert seen == sim_result.seen
+
+
+def test_time_travel_frontier_matches_simulator_history(spark, fx, tmp_path):
+    """frontier_at(r) reproduces the exact post-round-r frontier for every
+    committed round (per-version manifest = Iceberg snapshot metadata), and
+    the deadletter count/list API matches the live view."""
+    corpus = dict(zip(fx.corpus["url"], fx.corpus["image_id"]))
+    links = {}
+    for row in fx.links.itertuples(index=False):
+        links.setdefault(row.src_url, []).append((row.edge, row.dst_url, row.dst_type))
+    for v in links.values():
+        v.sort()
+    sim = ReferenceSimulator(corpus, links, SimConfig(robots_deny=ROBOTS))
+    sim.seed(fx.seeds.to_dict("records"))
+
+    eng, store, seeds = _engine(spark, fx, str(tmp_path / "s"), compact_every=2)
+    eng.seed(seeds)
+    want_by_round = {0: {(r.url, r.enqueue_seq) for r in sim.frontier}}
+    for r in range(1, 4):
+        eng.run_round()
+        sim.run_round()
+        want_by_round[r] = {(row.url, row.enqueue_seq) for row in sim.frontier}
+    for r, want in want_by_round.items():
+        got = {
+            (row["url"], row["enqueue_seq"])
+            for row in eng.frontier_at(r).select("url", "enqueue_seq").collect()
+        }
+        assert got == want, f"round {r}"
+    assert eng.deadletter_count() == eng.current_deadletter().count()
+    assert len(eng.list_deadletters(limit=1)) <= 1
+
+
+def test_expire_snapshots_keeps_live_state(spark, fx, sim_result, tmp_path):
+    """Iceberg-style expiry: dropping versions older than the live bases
+    frees disk without touching the live view — the crawl resumes to the
+    identical oracle result; time travel to an expired round errors."""
+    root = str(tmp_path / "s")
+    eng, store, seeds = _engine(spark, fx, root, compact_every=2)
+    eng.seed(seeds)
+    for _ in range(3):
+        eng.run_round()
+
+    m = store.read_manifest()
+    removed = store.expire_snapshots(m["bases"]["frontier"])
+    assert removed, "expiry must drop superseded state"
+    # live view intact, resume completes to the oracle result
+    del eng
+    eng2, store2, _ = _engine(spark, fx, root, compact_every=2)
+    for _ in range(N_ROUNDS - 3):
+        if not eng2.run_round():
+            break
+    log = [
+        r.asDict()
+        for r in store2.read_appends(spark, "order_log")
+        .orderBy("seq")
+        .select("seq", "round", "pop_seq", "url", "type", "tier", "host", "outcome")
+        .collect()
+    ]
+    assert log == sim_result.order_log
+    # expired seen deltas are folded into the seen BASE — read the merged view
+    m2 = store2.read_manifest()
+    seen = {
+        r.url
+        for r in eng2._read_seen(m2["current"], eng2._bases(m2)).collect()
+    }
+    assert seen == sim_result.seen
+    # round 1 was expired (not a base): its snapshot metadata is gone
+    with pytest.raises(FileNotFoundError):
+        store2.read_manifest(1)

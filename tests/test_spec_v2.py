@@ -53,7 +53,8 @@ def _build(spark, tmp_path, corpus, links, seeds, cfg_kw):
     sim = ReferenceSimulator(dict(corpus), sim_links, SimConfig(**{
         k: v for k, v in cfg_kw.items()
         if k not in ("use_bloom", "bloom_shards", "bloom_fpr", "compact_every",
-                     "validate_images", "ingest_dir")
+                     "validate_images", "ingest_dir", "politeness_salt",
+                     "politeness_hot_threshold")
     }))
     return eng, store, sim, seeds_df
 
@@ -146,8 +147,11 @@ def test_compute_cost_budgets(spark, tmp_path):
     costs = {"image": 3, "page": 1}
     eng, store, sim, seeds_df = _build(
         spark, tmp_path, corpus, links, seeds,
+        # hot threshold 1 forces EVERY host through the adaptive salted
+        # pre-cut — pins the two-phase top-k exactly equal to the oracle
         {"round_capacity": 8, "bucket_capacity": 4, "bucket_fill": 2,
-         "compute_costs": costs, "inject_failures": False},
+         "compute_costs": costs, "inject_failures": False,
+         "politeness_hot_threshold": 1},
     )
     _run_both(eng, sim, seeds_df, seeds)
     eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)

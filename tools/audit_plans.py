@@ -95,6 +95,20 @@ def main() -> int:
                    solo_shingle is None,
                    "found a join keyed on shingle alone — that's the all-pairs blow-up"))
 
+    # 3d. n3 multiprobe: probe fan-out must stay an equi-join on the bucket
+    # (no cartesian), with the small query side broadcast
+    p = explain_str(qs["n3_ann_multiprobe"](spark, SF))
+    plans["n3_ann_multiprobe"] = p
+    checks.append(("n3 multiprobe is a broadcast equi-join on the bucket",
+                   "BroadcastHashJoin" in p and "CartesianProduct" not in p, ""))
+
+    # 4b. a2 compute budget: one hash exchange on host, then a running-sum
+    # window — no global (empty-partition-key) window
+    p = explain_str(qs["a2_compute_budget"](spark, SF))
+    plans["a2_compute_budget"] = p
+    checks.append(("a2 cumulative window partitions by host (no global sort)",
+                   "CartesianProduct" not in p and "host" in p, ""))
+
     # 6. flagship: windows partitioned on host / tier, no cartesian product
     p = explain_str(qs["flagship_crawl_round"](spark, SF))
     plans["flagship_crawl_round"] = p
