@@ -51,7 +51,8 @@ def main() -> int:
     sim.run()
     print(f"simulator: {sim.round} rounds, {len(sim.order_log)} pops, "
           f"{len(sim.seen)} seen, {len(sim.docs)} docs, "
-          f"{len(sim.deadletter)} dead, {len(sim.excluded)} excluded")
+          f"{len(sim.deadletter)} dead, "
+          f"{len({e['url'] for e in sim.excluded})} distinct excluded")
 
     # --- engine ---
     spark = build_session("crawl-demo", master="local[8]", shuffle_partitions=8)
@@ -81,7 +82,7 @@ def main() -> int:
         eng_excl = {r.url for r in store.read_appends(spark, "excluded").collect()}
 
     print(f"engine: {rounds} rounds, {len(eng_log)} pops, {len(eng_seen)} seen, "
-          f"{len(eng_docs)} docs, {len(eng_dead)} dead, {len(eng_excl)} excluded")
+          f"{len(eng_docs)} docs, {len(eng_dead)} dead, {len(eng_excl)} distinct excluded")
 
     ok = True
     if rounds != sim.round:
