@@ -28,6 +28,7 @@ HEADLINE = [
     "j2_rehydrate_join",
     "a1_rate_window",
     "f8_url_canonicalize",
+    "f10_urn_prefix_rollup",
     "d1_dedup_exact",
     "d3_minhash_lsh",
     "d4_simhash_signatures",

@@ -105,17 +105,23 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = MINHASH_FUNCS
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = MINHASH_FUNCS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, mh_0..mh_{n-1}) — universal-hash MinHash family.
 
     ONE md5-derived base hash per shingle (hoisted into its own projection so
     Catalyst doesn't re-evaluate it per family member), then ``num_hashes``
     affine transforms mod 2^31-1 — pure codegen'd integer math, k× cheaper
-    than k independent digests and still DuckDB-exact."""
-    sh = _doc_shingles(df, id_col, text_col, k).withColumn(
-        "_h", minhash_base(F.col("shingle"))
-    )
+    than k independent digests and still DuckDB-exact. Pass ``shingles``
+    (a (doc, shingle) frame, e.g. cached) to skip re-shingling."""
+    sh = (
+        shingles if shingles is not None else _doc_shingles(df, id_col, text_col, k)
+    ).withColumn("_h", minhash_base(F.col("shingle")))
     aggs = [
         F.min(minhash_member(F.col("_h"), i)).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -139,7 +145,13 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) — only LSH candidates that verify.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # shingle ONCE, cache, reuse for signatures AND the candidate verify —
+    # shingling (split + slice-window + explode + distinct) is the dominant
+    # cost and was previously computed twice per call. The cached frame is
+    # O(corpus shingles); it stays resident until the session drops it
+    # (callers run this as a one-shot query).
+    sh_cached = _doc_shingles(df, id_col, text_col, k).persist()
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, shingles=sh_cached)
     band_cols = []
     for b in range(bands):
         members = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
@@ -173,7 +185,7 @@ def minhash_lsh_pairs(
     # drop out of the groupBy; with threshold > 0 they'd be filtered anyway.
     if threshold <= 0:
         raise ValueError("minhash_lsh_pairs needs threshold > 0")
-    sh = _doc_shingles(df, id_col, text_col, k)
+    sh = sh_cached
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(sh.select(F.col("doc").alias("id_a"), "shingle"), "id_a")

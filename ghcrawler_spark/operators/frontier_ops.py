@@ -325,6 +325,60 @@ def salted_repartition(
     return salted.repartition(num_partitions, F.col(host_col), F.col("_salt"))
 
 
+def trait_cap(
+    df: DataFrame,
+    budgets: dict[str, int],
+    type_traits: dict[str, str] | None = None,
+    type_col: str = "type",
+    order_col: str = "enqueue_seq",
+    url_col: str = "url",
+    salt: int = 16,
+) -> DataFrame:
+    """Token trait caps (tokenFactory.js:41-74): at most budgets[trait] rows
+    per trait per round, FIFO by ``order_col``; a row's trait is
+    type_traits[type] (default: the type itself).
+
+    Scale shape: only traits WITH a configured budget are ranked at all —
+    unbudgeted traits pass untouched, so the default trait (= type, e.g.
+    every 'page' row) never funnels through a one-task window. Budgeted
+    traits get a salted two-phase top-k: top-budget per (trait, salt)
+    first, THEN the exact FIFO rank over ≤ budget × salt rows per trait —
+    exact because the true top-budget prefix by order_col is inside every
+    salt bucket's own top-budget. salt=0 disables the pre-cut.
+    """
+    if not budgets:
+        return df
+    tmap = type_traits or {}
+    tpairs = [x for t, tr_ in tmap.items() for x in (F.lit(t), F.lit(tr_))]
+    trait_col = (
+        F.coalesce(F.element_at(F.create_map(*tpairs), F.col(type_col)), F.col(type_col))
+        if tpairs
+        else F.col(type_col)
+    )
+    bpairs = [x for t, b in budgets.items() for x in (F.lit(t), F.lit(int(b)))]
+    budget_col = F.element_at(F.create_map(*bpairs), F.col("_trait"))
+    out = df.withColumn("_trait", trait_col)
+    capped = out.filter(F.col("_trait").isin(*budgets))
+    uncapped = out.filter(~F.col("_trait").isin(*budgets))
+    if salt:
+        w_pre = Window.partitionBy("_trait", "_tsalt").orderBy(order_col)
+        capped = (
+            capped.withColumn(
+                "_tsalt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt))
+            )
+            .withColumn("_tpre", F.row_number().over(w_pre))
+            .filter(F.col("_tpre") <= budget_col)
+            .drop("_tsalt", "_tpre")
+        )
+    w_tr = Window.partitionBy("_trait").orderBy(order_col)
+    capped = (
+        capped.withColumn("_tr_rank", F.row_number().over(w_tr))
+        .filter(F.col("_tr_rank") <= budget_col)
+        .drop("_tr_rank")
+    )
+    return capped.unionByName(uncapped).drop("_trait")
+
+
 def backoff_gate(
     df: DataFrame,
     now: Column,

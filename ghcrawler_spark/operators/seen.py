@@ -13,13 +13,21 @@ queued?") and the storage etag probe (providers/fetcher/githubFetcher.js:28,
 
 Properties (tests/test_seen.py): NO false negatives (a seen URL always probes
 positive → never re-crawled twice after confirm), bounded false positives
-(~fpr → tiny extra anti-join input). The probe broadcasts the WHOLE shard
-dict (one broadcast per set, reused across probes, freed via destroy()) —
-fine up to a few GB of filter. At the full 10^10-URL scale (1% FPR ≈ 9.6
-bits/key ≈ 12 GB) the broadcast must be replaced by shard-local probing:
-repartition candidates by pmod(url_hash, num_shards) and map each partition
-against only its own shard blob (the SHARD_SCHEMA table, partitioned the
-same way) — same math, no single-node copy of all shards.
+(~fpr → tiny extra anti-join input).
+
+Two probe shapes, same math (pinned equal by tests/test_seen.py):
+
+- ``BloomShardSet`` — driver-held blobs, ONE broadcast of the whole shard
+  dict, probe in a scalar Arrow UDF. Fine up to a few GB of filter; at the
+  full 10^10-URL scale (1% FPR ≈ 9.6 bits/key ≈ 12 GB) the all-shards
+  broadcast is a hard stop.
+- ``BloomShardTable`` — the 10^10 shape and the engine DEFAULT: blobs live
+  in a DataFrame (SHARD_SCHEMA), never on the driver and never broadcast as
+  a whole. Probing is SHARD-LOCAL: candidates are grouped by
+  ``pmod(url_hash, num_shards)`` and COGROUPED with the one matching shard
+  row, so each task holds exactly one shard's bytes. Incremental merge
+  (bitwise OR of same-sized delta filters) is likewise a cogroup — Bloom
+  state never passes through the driver at all.
 
 The filter math is the standard double-hashing Bloom construction
 (pos_i = h1 + i*h2 mod m) over splitmix64-mixed key halves.
@@ -96,11 +104,12 @@ def optimal_params(n_keys: int, fpr: float) -> tuple[int, int]:
     return m, min(k, 16)
 
 
-def _build_shard_blobs(
+def build_shard_table(
     keys_df: DataFrame, key_col: str, num_shards: int, m: int, k: int
-) -> dict[int, tuple[bytes, int]]:
-    """shard_id → (filter_bytes, n_keys), built executor-side (one numpy pass
-    per shard group); only the blobs come back to the driver, never keys."""
+) -> DataFrame:
+    """SHARD_SCHEMA DataFrame of per-shard filters, built executor-side (one
+    numpy pass per shard group). The blobs stay on the executors — this is
+    the scan side of the shard-local design."""
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = pdf["_key"].to_numpy(dtype=np.int64)
@@ -114,7 +123,7 @@ def _build_shard_blobs(
             }
         )
 
-    shards_df = (
+    return (
         keys_df.select(
             F.col(key_col).cast("long").alias("_key"),
             F.pmod(F.col(key_col).cast("long"), F.lit(num_shards)).alias("_shard"),
@@ -122,9 +131,16 @@ def _build_shard_blobs(
         .groupBy("_shard")
         .applyInPandas(build_shard, SHARD_SCHEMA)
     )
+
+
+def _build_shard_blobs(
+    keys_df: DataFrame, key_col: str, num_shards: int, m: int, k: int
+) -> dict[int, tuple[bytes, int]]:
+    """shard_id → (filter_bytes, n_keys) collected to the driver (broadcast
+    variant only; the table variant never collects blobs)."""
     return {
         row["shard_id"]: (bytes(row["filter_bytes"]), row["n_keys"])
-        for row in shards_df.collect()
+        for row in build_shard_table(keys_df, key_col, num_shards, m, k).collect()
     }
 
 
@@ -233,6 +249,9 @@ class BloomShardSet:
             for sid, (blob, m, k) in sorted(self.shards.items())
         ]
 
+    def as_rows_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.to_rows(), SHARD_SCHEMA)
+
     @staticmethod
     def from_rows(
         rows, num_shards: int, m_bits: int, k_funcs: int, capacity_per_shard: int
@@ -288,17 +307,175 @@ class BloomShardSet:
         return df.withColumn(out_col, probe_udf(F.col(key_col).cast("long")))
 
 
+class BloomShardTable:
+    """Executor-resident sharded Bloom set — the 10^10-key shape.
+
+    The shard blobs live in a SHARD_SCHEMA DataFrame; no driver collect, no
+    all-shards broadcast. Probe = cogroup candidates (grouped by
+    ``pmod(key, num_shards)``) with the shard table (grouped by shard_id):
+    each task receives one shard's candidates plus THAT shard's bytes only.
+    Merge = same-sized delta filters OR'd blob-by-blob in a cogroup.
+    Mirrors the BloomShardSet API so the engine/filter_unseen can take
+    either; tests pin the two probes (and the exact anti-join) equal.
+    """
+
+    def __init__(
+        self,
+        shards_df: DataFrame,
+        num_shards: int,
+        m_bits: int,
+        k_funcs: int,
+        capacity_per_shard: int,
+    ):
+        self.shards_df = shards_df
+        self.num_shards = num_shards
+        self.m_bits = m_bits
+        self.k_funcs = k_funcs
+        self.capacity_per_shard = capacity_per_shard
+
+    @staticmethod
+    def build(
+        keys_df: DataFrame,
+        key_col: str = "url_hash",
+        num_shards: int = 16,
+        fpr: float = 0.01,
+        expected_per_shard: int | None = None,
+    ) -> "BloomShardTable":
+        if expected_per_shard is None:
+            total = keys_df.count()
+            expected_per_shard = max(64, total // max(num_shards, 1) + 1)
+        m, k = optimal_params(expected_per_shard, fpr)
+        df = build_shard_table(keys_df, key_col, num_shards, m, k).persist()
+        return BloomShardTable(df, num_shards, m, k, expected_per_shard)
+
+    @staticmethod
+    def empty(
+        spark: SparkSession,
+        num_shards: int = 16,
+        expected_per_shard: int = 4096,
+        fpr: float = 0.01,
+    ) -> "BloomShardTable":
+        m, k = optimal_params(expected_per_shard, fpr)
+        return BloomShardTable(
+            spark.createDataFrame([], SHARD_SCHEMA), num_shards, m, k,
+            expected_per_shard,
+        )
+
+    @staticmethod
+    def from_rows_df(
+        rows_df: DataFrame,
+        num_shards: int,
+        m_bits: int,
+        k_funcs: int,
+        capacity_per_shard: int,
+    ) -> "BloomShardTable":
+        return BloomShardTable(rows_df, num_shards, m_bits, k_funcs, capacity_per_shard)
+
+    def as_rows_df(self, spark: SparkSession) -> DataFrame:
+        return self.shards_df
+
+    def merged(self, keys_df: DataFrame, key_col: str = "url_hash") -> "BloomShardTable":
+        """self OR keys, entirely executor-side: build same-sized delta
+        filters from the batch, cogroup with the current shard table, OR the
+        byte arrays. O(batch) work + one tiny (num_shards-row) cogroup; the
+        merged table is persisted because the caller both probes it and
+        persists it to the snapshot store."""
+        delta = build_shard_table(keys_df, key_col, self.num_shards, self.m_bits, self.k_funcs)
+
+        def or_blobs(old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+            if len(old) == 0:
+                return new
+            if len(new) == 0:
+                return old
+            a = np.frombuffer(bytes(old["filter_bytes"].iloc[0]), dtype=np.uint8)
+            b = np.frombuffer(bytes(new["filter_bytes"].iloc[0]), dtype=np.uint8)
+            return pd.DataFrame(
+                {
+                    "shard_id": [int(old["shard_id"].iloc[0])],
+                    "filter_bytes": [(a | b).tobytes()],
+                    "n_keys": [int(old["n_keys"].iloc[0]) + int(new["n_keys"].iloc[0])],
+                    "m_bits": [int(old["m_bits"].iloc[0])],
+                    "k_funcs": [int(old["k_funcs"].iloc[0])],
+                }
+            )
+
+        merged_df = (
+            self.shards_df.groupBy("shard_id")
+            .cogroup(delta.groupBy("shard_id"))
+            .applyInPandas(or_blobs, SHARD_SCHEMA)
+            .persist()
+        )
+        return BloomShardTable(
+            merged_df, self.num_shards, self.m_bits, self.k_funcs,
+            self.capacity_per_shard,
+        )
+
+    def overflowed(self, headroom: float = 2.0) -> bool:
+        """Max per-shard inserts vs design capacity — a num_shards-row agg
+        (upper bound: re-inserts counted, so it triggers early, never late)."""
+        if self.capacity_per_shard <= 0:
+            return False
+        row = self.shards_df.agg(F.max("n_keys").alias("mx")).first()
+        mx = row["mx"] if row and row["mx"] is not None else 0
+        return mx > headroom * self.capacity_per_shard
+
+    def total_keys(self) -> int:
+        row = self.shards_df.agg(F.sum("n_keys").alias("s")).first()
+        return int(row["s"]) if row and row["s"] is not None else 0
+
+    def destroy(self) -> None:
+        try:
+            self.shards_df.unpersist()
+        except Exception:
+            pass
+
+    def probe(
+        self, df: DataFrame, key_col: str = "url_hash", out_col: str = "maybe_seen"
+    ) -> DataFrame:
+        """Shard-local membership probe: one hash exchange of the candidates
+        on the shard id, zero driver/broadcast copies of the filter bytes.
+        A shard with no filter row (nothing inserted) probes False —
+        definitely unseen."""
+        num_shards = self.num_shards
+        out_schema = StructType(
+            df.schema.fields + [StructField(out_col, BooleanType(), False)]
+        )
+
+        def probe_group(cands: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+            out = cands.drop(columns=["_shard"])
+            if len(shard) == 0 or len(out) == 0:
+                out[out_col] = np.zeros(len(out), dtype=bool)
+                return out
+            blob = bytes(shard["filter_bytes"].iloc[0])
+            m = int(shard["m_bits"].iloc[0])
+            k = int(shard["k_funcs"].iloc[0])
+            keys = out[key_col].to_numpy(dtype=np.int64)
+            out[out_col] = _probe_filter(keys, blob, m, k)
+            return out
+
+        with_shard = df.withColumn(
+            "_shard",
+            F.pmod(F.col(key_col).cast("long"), F.lit(num_shards)).cast("int"),
+        )
+        return (
+            with_shard.groupBy("_shard")
+            .cogroup(self.shards_df.groupBy("shard_id"))
+            .applyInPandas(probe_group, out_schema)
+        )
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen_keys: DataFrame,
-    bloom: BloomShardSet | None,
+    bloom: "BloomShardSet | BloomShardTable | None",
     key_col: str = "url_hash",
     persisted: list | None = None,
 ) -> DataFrame:
     """Bloom-pushdown unseen filter: definite-unseen rows pass for free; only
     probe-positives (true dups + ~fpr false positives) hit the exact
-    anti-join. With bloom=None degrades to the plain anti-join."""
-    if bloom is None or not bloom.shards:
+    anti-join. With bloom=None degrades to the plain anti-join. Takes either
+    probe shape (broadcast BloomShardSet or shard-local BloomShardTable)."""
+    if bloom is None or (isinstance(bloom, BloomShardSet) and not bloom.shards):
         return candidates.join(
             seen_keys.select(key_col).distinct(), on=key_col, how="left_anti"
         )

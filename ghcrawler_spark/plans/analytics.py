@@ -564,6 +564,52 @@ def f9_urn_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "f10_urn_prefix_rollup",
+    """
+    WITH built AS (
+      SELECT doc_id,
+             ('urn' || ':' || 'src' || ':' || source) || ':' || 'doc' || ':'
+               || CAST(doc_id AS VARCHAR) AS urn
+      FROM documents
+    )
+    SELECT array_to_string(list_slice(string_split(urn, ':'), 1,
+                           len(string_split(urn, ':')) - 2), ':') AS parent_urn,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM built
+    WHERE urn LIKE 'urn:src:%'
+    GROUP BY parent_urn
+    """,
+)
+def f10_urn_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URN-prefix storage query — the reference's primary lookup shape
+    ("all commits of repo 12"): stored docs are keyed by hierarchical URN
+    (lib/request.js:106-140; urlToUrnMappingStore.js:18-41), so subtree
+    queries are prefix scans + parent rollups. Scale shape: pure string
+    exprs + one hash aggregation on the derived parent key — codegen'd,
+    no joins; at 10^10 docs this is a single shuffle on parent_urn."""
+    from ghcrawler_spark.functions.urns import child_urn, root_urn, urn_parent
+
+    docs = _t(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        child_urn(
+            root_urn(F.lit("src"), F.col("source")), F.lit("doc"), F.col("doc_id")
+        ).alias("urn"),
+    )
+    return (
+        built.filter(F.col("urn").startswith("urn:src:"))
+        .groupBy(urn_parent("urn").alias("parent_urn"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # D1-D5 — deduplication family (documents)
 # ---------------------------------------------------------------------------

@@ -1,7 +1,7 @@
 """The crawl round engine — ghcrawler's processOne pipeline re-expressed as
 one batch DataFrame job per round (SURVEY.md §3.4 lifecycle mapping).
 
-Implements ROUND SPEC v2 (ghcrawler_spark/simulator.py module doc) — the
+Implements ROUND SPEC v3 (ghcrawler_spark/simulator.py module doc) — the
 simulator is the oracle; tests pin engine order_log == simulator order_log
 EXACTLY, at any parallelism (the spec has no order-dependence on partition
 count: every window orders by a unique key).
@@ -24,12 +24,16 @@ by the sharded Bloom set so the exact join sees only probe-positives.
 State I/O is MERGE-ON-READ (the Iceberg MOR model the north_rule's snapshot
 store maps to): a round writes only the rows it touched — frontier adds,
 frontier equality-deletes (popped/dead enqueue_seqs), deadletter adds, seen
-delta, Bloom blobs — never a full-table rewrite. The Bloom set is folded
-forward per round (union = bitwise OR over same-sized shard filters), so
-per-round cost is O(rows touched), not O(crawl history). Compaction every
-cfg.compact_every rounds rewrites the frontier/seen bases, bounding a
-reader's delta fan-in. On a real cluster the per-version parquet dirs become
-Iceberg append/delete files and the base swap becomes overwritePartitions.
+delta, docs upserts, CHANGED host-state rows, Bloom blobs — never a
+full-table rewrite. The Bloom set is folded forward per round (union =
+bitwise OR over same-sized shard filters), so per-round cost is O(rows
+touched), not O(crawl history). Reads are equally bounded: the doc-store
+lookup and the host-state table merge a compacted BASE with only the deltas
+since it — no table is ever replayed from v0. Compaction every
+cfg.compact_every rounds rewrites the frontier/seen/stored/host_state
+bases, bounding every reader's delta fan-in to the compaction window. On a
+real cluster the per-version parquet dirs become Iceberg append/delete
+files and the base swap becomes overwritePartitions.
 
 CONCURRENCY INVARIANT: the snapshot store has exactly ONE writer (the
 engine); the manifest swap is the commit point. External producers (the
@@ -52,13 +56,20 @@ from pyspark.sql import functions as F
 
 from ghcrawler_spark.functions.images import psnr_vs_reference_udf
 from ghcrawler_spark.functions.urls import extract_host
+from ghcrawler_spark.functions.urns import child_urn, root_urn
 from ghcrawler_spark.hashing import stable_long_hash
 from ghcrawler_spark.operators.frontier_ops import (
     WEIGHT_SCALE,
     scalable_rank_by_key,
+    trait_cap,
     weighted_rotation_order_scalable,
 )
-from ghcrawler_spark.operators.seen import SHARD_SCHEMA, BloomShardSet, filter_unseen
+from ghcrawler_spark.operators.seen import (
+    BloomShardSet,
+    BloomShardTable,
+    filter_unseen,
+    optimal_params,
+)
 from ghcrawler_spark.plans.policy import fetch_source, next_map_path, should_process
 from ghcrawler_spark.simulator import EVENT_POLICY
 from ghcrawler_spark.sources.snapshot import SnapshotStore
@@ -66,7 +77,8 @@ from ghcrawler_spark.sources.snapshot import SnapshotStore
 FRONTIER_SCHEMA = (
     "url string, type string, tier string, host string, enqueue_seq long, "
     "attempt int, policy_fetch string, policy_freshness string, "
-    "map_path string, history array<string>, payload_id string"
+    "map_path string, history array<string>, payload_id string, "
+    "qualifier string"
 )
 SEEN_SCHEMA = "url string, url_hash long"
 ORDER_LOG_SCHEMA = (
@@ -74,10 +86,16 @@ ORDER_LOG_SCHEMA = (
     "host string, outcome string"
 )
 HOST_STATE_SCHEMA = "host string, level long, bench_until long"
+# host_state MOR deltas carry the writing round so the merged read can take
+# the latest row per host (last-writer-wins by round)
+HOST_STATE_DELTA_SCHEMA = "host string, level long, bench_until long, round int"
 DOCS_SCHEMA = (
     "image_id string, url string, round int, version int, psnr_db double, "
-    "valid boolean"
+    "valid boolean, urn string, parent_urn string"
 )
+# compacted doc-store point-lookup base (url -> latest stored round/version);
+# the docs table itself stays an append-only change log (audit surface)
+STORED_SCHEMA = "url string, round int, version int"
 DEADLETTER_SCHEMA = (
     "url string, type string, tier string, round int, attempt int, reason string"
 )
@@ -114,6 +132,19 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_shards: int = 16
     bloom_fpr: float = 0.01
+    # Probe strategy — the same size-adaptive decision Catalyst makes for
+    # broadcast vs shuffle joins:
+    #   'auto' (default): broadcast the blobs while the whole filter fits
+    #     under bloom_broadcast_max_bytes; beyond that (the 10^10-key
+    #     regime, ~12 GB at 1% FPR) switch to SHARD-LOCAL probing — blobs
+    #     live in a SHARD_SCHEMA DataFrame and candidates cogroup with
+    #     exactly their one shard, no single-node copy of all shards
+    #     anywhere in the plan. The decision reads only manifest params
+    #     (m_bits × num_shards), so it is deterministic and replay-safe;
+    #     a growing crawl flips to shard-local at a filter rebuild.
+    #   'shard_local' / 'broadcast': force one shape (tests pin them equal).
+    bloom_mode: str = "auto"
+    bloom_broadcast_max_bytes: int = 64 << 20
     # merge-on-read state: rewrite the frontier/seen bases every K rounds;
     # between compactions a round writes only its own adds/removes deltas
     compact_every: int = 8
@@ -124,6 +155,11 @@ class CrawlConfig:
     type_traits: dict | None = None  # type -> trait (default: the type)
     bench_on_throttle: bool = False  # 403-style bench (tokenFactory.js:41-93)
     bench_rounds: int = 2
+    # measured compute-cost mode (computeLimiter.js:44-77): politeness keeps
+    # PREALLOCATING the static per-type cost, but the bucket spend charges
+    # observed elapsed minus the running-min baseline (a manifest scalar,
+    # refreshed per round) — the reference's reconciliation semantics
+    measured_costs: bool = False
     ingest_dir: str | None = None  # staged event batches absorbed per round
     # hot-host skew: hosts with more than politeness_hot_threshold frontier
     # rows (default bucket_capacity x 64) get a SALTED top-capacity pre-cut
@@ -168,18 +204,31 @@ class _Tracer:
             self.t = now
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release a superseded localCheckpoint's blocks (they are not in the
+    cache manager, so unpersist() alone is a no-op for them)."""
+    try:
+        df.unpersist()
+        df._jdf.queryExecution().toRdd().unpersist(False)
+    except Exception:
+        pass  # best effort; block GC reclaims eventually
+
+
 def _run_writes(writes: list) -> None:
     """Run independent write jobs concurrently (wall = slowest, not sum)."""
     with ThreadPoolExecutor(max_workers=min(8, max(1, len(writes)))) as pool:
         list(pool.map(lambda w: w(), writes))
 
 
-def _bloom_manifest(bloom: BloomShardSet) -> dict:
+def _bloom_manifest(bloom, total_keys: int = 0) -> dict:
     return {
         "m_bits": bloom.m_bits,
         "k_funcs": bloom.k_funcs,
         "capacity_per_shard": bloom.capacity_per_shard,
         "num_shards": bloom.num_shards,
+        # running insert count (upper bound: re-inserts counted) — the
+        # overflow check is manifest arithmetic, never a per-round agg job
+        "total_keys": total_keys,
     }
 
 
@@ -243,6 +292,55 @@ class CrawlEngine:
             pass
         return out
 
+    def _read_stored(self, version: int, bases: dict) -> DataFrame:
+        """Doc-store POINT-LOOKUP view (url → latest stored round/version) —
+        the reference's store.get/etag index (storageDocStore.js:61-93 keys
+        docs for lookup; it never replays its change log). Merge-on-read:
+        the compacted `stored` base ∪ docs deltas SINCE the base, so a round
+        unions ≤ compact_every+1 dirs instead of every docs delta since v0."""
+        base_v = bases.get("stored")
+        if base_v is None:  # legacy layout: no compacted lookup yet
+            rows = self.store.read_appends(self.spark, "docs", version).select(
+                "url", "round", "version"
+            )
+        else:
+            rows = self.store.read(self.spark, "stored", base_v)
+            try:
+                deltas = self.store.read_appends(
+                    self.spark, "docs", version, from_version=base_v + 1
+                )
+                rows = rows.unionByName(deltas.select("url", "round", "version"))
+            except FileNotFoundError:
+                pass
+        return rows.groupBy("url").agg(
+            F.max("round").alias("round"), F.max("version").alias("version")
+        )
+
+    def _read_host_state(self, version: int, bases: dict) -> DataFrame:
+        """Token-bucket table, merge-on-read: base ∪ per-round deltas of
+        CHANGED hosts only, latest row per host wins. Keeps the per-round
+        write O(active hosts) instead of O(all known hosts)."""
+        base_v = bases.get("host_state")
+        if base_v is None:  # legacy layout: full table per version
+            return self.store.read(self.spark, "host_state", version)
+        base = self.store.read(self.spark, "host_state", base_v).withColumn(
+            "_hs_r", F.lit(base_v)
+        )
+        try:
+            deltas = self.store.read_appends(
+                self.spark, "host_state_adds", version, from_version=base_v + 1
+            ).withColumnRenamed("round", "_hs_r")
+            base = base.unionByName(deltas)
+        except FileNotFoundError:
+            pass
+        return base.groupBy("host").agg(
+            F.max_by(F.struct("level", "bench_until"), "_hs_r").alias("_s")
+        ).select(
+            "host",
+            F.col("_s.level").alias("level"),
+            F.col("_s.bench_until").alias("bench_until"),
+        )
+
     def _read_deadletter(self, version: int, bases: dict) -> DataFrame:
         out = self.store.read(self.spark, "deadletter", bases["deadletter"])
         try:
@@ -305,16 +403,27 @@ class CrawlEngine:
             (F.col("payload_id") if "payload_id" in have else F.lit(None))
             .cast("string")
             .alias("payload_id"),
+            (F.col("verified") if "verified" in have else F.lit(True))
+            .cast("boolean")
+            .alias("verified"),
         )
+
+        def _dead_rows(df: DataFrame, reason: str) -> DataFrame:
+            return df.select(
+                F.coalesce(F.col("url"), F.lit("")).alias("url"),
+                F.coalesce(F.col("type"), F.lit("")).alias("type"),
+                F.lit("events").alias("tier"),
+                F.lit(rnd).alias("round"),
+                F.lit(0).cast("int").alias("attempt"),
+                F.lit(reason).alias("reason"),
+            )
+
+        # signature gate FIRST (routes/webhook.js:15-24 rejects before
+        # parsing): staged rows the producer could not verify → deadletter
+        ev_dead = _dead_rows(ev.filter(~F.col("verified")), "unverified")
+        ev = ev.filter(F.col("verified")).drop("verified")
         bad = ev.filter(_malformed_cond())
-        ev_dead = bad.select(
-            F.coalesce(F.col("url"), F.lit("")).alias("url"),
-            F.coalesce(F.col("type"), F.lit("")).alias("type"),
-            F.lit("events").alias("tier"),
-            F.lit(rnd).alias("round"),
-            F.lit(0).cast("int").alias("attempt"),
-            F.lit("malformed").alias("reason"),
-        )
+        ev_dead = ev_dead.unionByName(_dead_rows(bad, "malformed"))
         ok = ev.filter(~_malformed_cond())
         w = Window.partitionBy("url").orderBy("event_ms", "type")
         first = (
@@ -341,6 +450,7 @@ class CrawlEngine:
                 F.lit(mp).alias("map_path"),
                 F.array().cast("array<string>").alias("history"),
                 "payload_id",
+                root_urn(F.lit("host"), F.col("host")).alias("qualifier"),
             )
             .persist()
         )
@@ -375,33 +485,51 @@ class CrawlEngine:
         list API at 10000 the same way)."""
         return self.current_deadletter().limit(limit).collect()
 
-    def _write_bloom(self, version: int, bloom: BloomShardSet) -> None:
-        """Persist shard blobs (tiny: num_shards rows) so a resumed run
-        reloads them instead of rebuilding from the full seen set."""
-        rows_df = self.spark.createDataFrame(bloom.to_rows(), SHARD_SCHEMA)
-        self.store.write_append(version, "bloom", rows_df)
+    def _bloom_shard_local(self, m_bits: int) -> bool:
+        """Resolve the probe strategy for a filter of this sizing."""
+        if self.cfg.bloom_mode == "auto":
+            total_bytes = self.cfg.bloom_shards * (m_bits // 8)
+            return total_bytes > self.cfg.bloom_broadcast_max_bytes
+        return self.cfg.bloom_mode == "shard_local"
 
-    def _load_bloom(self, version: int, manifest: dict, seen: DataFrame) -> BloomShardSet:
-        """Cached blobs when this engine committed ``version``; else the
-        persisted blobs; else (pre-incremental store) a full rebuild."""
+    def _write_bloom(self, version: int, bloom) -> None:
+        """Persist shard blobs (num_shards rows) so a resumed run reloads
+        them instead of rebuilding from the full seen set. In shard_local
+        mode the rows never pass through the driver — the executor-side
+        table is written directly."""
+        self.store.write_append(version, "bloom", bloom.as_rows_df(self.spark))
+
+    def _load_bloom(self, version: int, manifest: dict, seen: DataFrame):
+        """Cached set when this engine committed ``version``; else the
+        persisted blobs; else (pre-incremental store) a full rebuild.
+        Returns a BloomShardTable (shard_local, default) or BloomShardSet
+        (broadcast) per cfg.bloom_mode."""
         if self._bloom is not None and self._bloom_version == version:
             return self._bloom
         info = manifest.get("bloom")
         if info is not None:
             try:
-                rows = self.store.read_appends(
+                rows_df = self.store.read_appends(
                     self.spark, "bloom", version, from_version=version
-                ).collect()
-                return BloomShardSet.from_rows(
-                    rows,
+                )
+                params = dict(
                     num_shards=info["num_shards"],
                     m_bits=info["m_bits"],
                     k_funcs=info["k_funcs"],
                     capacity_per_shard=info["capacity_per_shard"],
                 )
+                if self._bloom_shard_local(info["m_bits"]):
+                    return BloomShardTable.from_rows_df(rows_df, **params)
+                return BloomShardSet.from_rows(rows_df.collect(), **params)
             except FileNotFoundError:
                 pass
-        return BloomShardSet.build(
+        m_est, _ = optimal_params(
+            max(64, 4096 // max(self.cfg.bloom_shards, 1)), self.cfg.bloom_fpr
+        )
+        cls = (
+            BloomShardTable if self._bloom_shard_local(m_est) else BloomShardSet
+        )
+        return cls.build(
             seen.select("url_hash"),
             num_shards=self.cfg.bloom_shards,
             fpr=self.cfg.bloom_fpr,
@@ -470,6 +598,9 @@ class CrawlEngine:
             "map_path",
             F.array().cast("array<string>").alias("history"),
             F.lit(None).cast("string").alias("payload_id"),
+            # root rows anchor the URN chain at the host entity
+            # (lib/request.js:106-117)
+            root_urn(F.lit("host"), F.col("host")).alias("qualifier"),
         )
         n_seeded = frontier.count()
         # v0 holds the BASE tables of the merge-on-read model; rounds write
@@ -479,6 +610,7 @@ class CrawlEngine:
             {
                 "frontier": frontier,
                 "host_state": self._empty(HOST_STATE_SCHEMA),
+                "stored": self._empty(STORED_SCHEMA),
                 "deadletter": malformed.select(
                     F.coalesce(F.col("url"), F.lit("")).alias("url"),
                     F.coalesce(F.col("type"), F.lit("")).alias("type"),
@@ -508,13 +640,21 @@ class CrawlEngine:
                 ),
             ]
         )
-        bloom = BloomShardSet.empty(
-            num_shards=self.cfg.bloom_shards,
-            expected_per_shard=max(
-                4096, 2 * n_seeded // max(self.cfg.bloom_shards, 1)
-            ),
-            fpr=self.cfg.bloom_fpr,
-        )
+        expected = max(4096, 2 * n_seeded // max(self.cfg.bloom_shards, 1))
+        m_seed, _ = optimal_params(expected, self.cfg.bloom_fpr)
+        if self._bloom_shard_local(m_seed):
+            bloom = BloomShardTable.empty(
+                self.spark,
+                num_shards=self.cfg.bloom_shards,
+                expected_per_shard=expected,
+                fpr=self.cfg.bloom_fpr,
+            )
+        else:
+            bloom = BloomShardSet.empty(
+                num_shards=self.cfg.bloom_shards,
+                expected_per_shard=expected,
+                fpr=self.cfg.bloom_fpr,
+            )
         self._write_bloom(0, bloom)
         self.store.commit(
             0,
@@ -523,9 +663,12 @@ class CrawlEngine:
                 "total_popped": 0,
                 "round": 0,
                 "frontier_size": n_seeded,
-                "bases": {"frontier": 0, "seen": None, "deadletter": 0},
-                "bloom": _bloom_manifest(bloom),
-                "ingested": [],
+                "bases": {
+                    "frontier": 0, "seen": None, "deadletter": 0,
+                    "stored": 0, "host_state": 0,
+                },
+                "bloom": _bloom_manifest(bloom, 0),
+                "ingested": {},
                 "docs_total": 0,
             },
         )
@@ -566,7 +709,9 @@ class CrawlEngine:
         frontier = frontier0.persist()
         persisted.append(frontier)
         seen = self._read_seen(version, bases)
-        host_state = self.store.read(self.spark, "host_state", version)
+        # persist: read twice (refill join + changed-host delta detection)
+        host_state = self._read_host_state(version, bases).persist()
+        persisted.append(host_state)
 
         # 1. refill token buckets for all known + current hosts
         #    (first-seen hosts start at capacity)
@@ -657,27 +802,15 @@ class CrawlEngine:
             .filter(F.col("_cum") <= F.col("level"))
             .drop("_cum", "level", "bench_until")
         )
-        # 3b. token trait caps (tokenFactory.js:41-74): at most budget[trait]
-        # pops per trait per round, FIFO within the trait
-        if cfg.trait_budgets is not None:
-            tmap = cfg.type_traits or {}
-            tpairs = [x for t, tr_ in tmap.items() for x in (F.lit(t), F.lit(tr_))]
-            trait_col = (
-                F.coalesce(F.element_at(F.create_map(*tpairs), F.col("type")), F.col("type"))
-                if tpairs
-                else F.col("type")
-            )
-            bpairs = [x for t, b in cfg.trait_budgets.items() for x in (F.lit(t), F.lit(int(b)))]
-            budget_col = F.coalesce(
-                F.element_at(F.create_map(*bpairs), F.col("_trait")),
-                F.lit(10**9),
-            )
-            w_tr = Window.partitionBy("_trait").orderBy("enqueue_seq")
-            polite = (
-                polite.withColumn("_trait", trait_col)
-                .withColumn("_tr_rank", F.row_number().over(w_tr))
-                .filter(F.col("_tr_rank") <= budget_col)
-                .drop("_trait", "_tr_rank")
+        # 3b. token trait caps (tokenFactory.js:41-74) — frontier_ops.trait_cap:
+        # unbudgeted traits skip the window entirely; budgeted traits get the
+        # salted two-phase top-k (no one-task sort of the full polite set)
+        if cfg.trait_budgets:
+            polite = trait_cap(
+                polite,
+                cfg.trait_budgets,
+                cfg.type_traits,
+                salt=cfg.politeness_salt,
             )
 
         # 4. weighted rotation + round capacity (closed-form interleave —
@@ -707,18 +840,21 @@ class CrawlEngine:
         ).drop("c_url")
         # the doc-store lookup only matters once something IS stored — the
         # manifest's docs_total counter lets an all-new crawl skip the
-        # per-round docs scan + join entirely
-        if manifest.get("docs_total", 1) > 0:
-            stored_df = (
-                self.store.read_appends(self.spark, "docs", version)
-                .groupBy(F.col("url").alias("s_url"))
-                .agg(
-                    F.max("round").alias("stored_round"),
-                    F.max("version").alias("stored_version"),
-                )
-            )
+        # per-round docs scan + join entirely. The lookup is the compacted
+        # MOR view (_read_stored): base ∪ deltas-past-base, never a replay
+        # of the whole docs history.
+        docs_total = manifest.get("docs_total", 1)
+        stored_lookup = None
+        if docs_total > 0:
+            stored_lookup = self._read_stored(version, bases)
             fetched = fetched.join(
-                stored_df, F.col("url") == F.col("s_url"), "left"
+                stored_lookup.select(
+                    F.col("url").alias("s_url"),
+                    F.col("round").alias("stored_round"),
+                    F.col("version").alias("stored_version"),
+                ),
+                F.col("url") == F.col("s_url"),
+                "left",
             ).drop("s_url")
         else:
             fetched = fetched.withColumn(
@@ -760,13 +896,44 @@ class CrawlEngine:
                 .otherwise("Unchanged"),
             )
         )
-        fetched = fetched.persist()
+        baseline_prev = manifest.get("cost_baseline")
+        if cfg.measured_costs:
+            # deterministic observed elapsed (simulator.synthetic_elapsed
+            # twin): fixed overhead + static-cost-proportional work + jitter
+            fetched = fetched.withColumn(
+                "_elapsed",
+                (
+                    F.lit(20)
+                    + F.col("_cost") * 10
+                    + F.pmod(stable_long_hash(F.col("url")), F.lit(7))
+                ).cast("long"),
+            )
+        # LOCAL CHECKPOINT, not persist: a dozen downstream frames (log,
+        # seen, children, requeues, spend, lineage, writes) each embed this
+        # frame's plan; with plain persist the LOGICAL tree (frontier MOR
+        # union + politeness + rotation + stored lookup) is re-embedded in
+        # every one of them and the per-round plan grows multiplicatively —
+        # measured to OOM the driver building plan strings. The checkpoint
+        # truncates lineage to a leaf; blocks are freed after commit.
+        fetched = fetched.localCheckpoint(eager=True)
         # ONE job yields the whole outcome histogram (selected/requeued/
-        # processed/...) instead of a count per stage
-        hist = {
-            r["outcome"]: r["count"]
-            for r in fetched.groupBy("outcome").count().collect()
-        }
+        # processed/...) — and, in measured mode, the round's min elapsed
+        # for the baseline refresh rides the same aggregation
+        round_min = None
+        if cfg.measured_costs:
+            rows = (
+                fetched.groupBy("outcome")
+                .agg(F.count(F.lit(1)).alias("count"), F.min("_elapsed").alias("mn"))
+                .collect()
+            )
+            hist = {r["outcome"]: r["count"] for r in rows}
+            mins = [r["mn"] for r in rows if r["mn"] is not None]
+            round_min = min(mins) if mins else None
+        else:
+            hist = {
+                r["outcome"]: r["count"]
+                for r in fetched.groupBy("outcome").count().collect()
+            }
         tr.mark("select+fetch (hist)")
         n_selected = sum(hist.values())
         n_requeued = hist.get("Requeued", 0)
@@ -826,6 +993,11 @@ class CrawlEngine:
                     F.lit(cfg.processor_version).alias("version"),
                     "psnr_db",
                     "valid",
+                    child_urn(
+                        F.col("qualifier"), F.col("type"),
+                        stable_long_hash(F.col("url")),
+                    ).alias("urn"),
+                    F.col("qualifier").alias("parent_urn"),
                 )
             )
         else:
@@ -836,6 +1008,11 @@ class CrawlEngine:
                 F.lit(cfg.processor_version).alias("version"),
                 F.lit(None).cast("double").alias("psnr_db"),
                 F.lit(None).cast("boolean").alias("valid"),
+                child_urn(
+                    F.col("qualifier"), F.col("type"),
+                    stable_long_hash(F.col("url")),
+                ).alias("urn"),
+                F.col("qualifier").alias("parent_urn"),
             )
 
         # 7. children of Traversed pages (all selected-derived frames read
@@ -853,6 +1030,12 @@ class CrawlEngine:
                 F.col("history"),
                 F.array(F.concat(F.col("type"), F.lit("@"), F.col("url"))),
             ).alias("p_history"),
+            # the child's qualifier-to-be: this parent's own URN
+            # (createQualifiedUrn, lib/request.js:113-117; id = stable url
+            # hash, the graft's colon-free entity id)
+            child_urn(
+                F.col("qualifier"), F.col("type"), stable_long_hash(F.col("url"))
+            ).alias("p_urn"),
         )
         raw_children = parents.join(self.links, "src_url").select(
             "parent_pop",
@@ -864,6 +1047,7 @@ class CrawlEngine:
             "p_fresh",
             "p_map",
             "p_history",
+            "p_urn",
         )
         # per-traversal hasSeen (U2, lib/request.js:66-74,146-150): an edge
         # whose target key already appears on this path is INVISIBLE — this,
@@ -904,14 +1088,32 @@ class CrawlEngine:
             bloom_prev = self._load_bloom(version, manifest, seen)
             bloom = bloom_prev.merged(newly_seen.select("url_hash"))
             tr.mark("bloom merge")
-            if bloom.overflowed():
+            # overflow (FPR decay) check by MANIFEST ARITHMETIC — newly-seen
+            # rows this round = selected − requeued, already counted by the
+            # outcome histogram; md5-hashed keys shard uniformly, so the
+            # total-vs-total-capacity test matches the per-shard one without
+            # spending an aggregation job per round
+            prev_total = (manifest.get("bloom") or {}).get("total_keys", 0)
+            bloom_total = prev_total + max(0, n_selected - n_requeued)
+            if bloom_total > 2.0 * bloom.capacity_per_shard * max(
+                1, bloom.num_shards
+            ):
                 # amortized resize: full rebuild at 4x capacity (happens
-                # O(log n) times over a crawl, never per round)
-                bloom = BloomShardSet.build(
+                # O(log n) times over a crawl, never per round). The probe
+                # strategy is re-resolved for the NEW sizing — a growing
+                # crawl flips broadcast → shard-local here.
+                new_expected = max(64, 4 * bloom.capacity_per_shard)
+                m_new, _ = optimal_params(new_expected, cfg.bloom_fpr)
+                cls = (
+                    BloomShardTable
+                    if self._bloom_shard_local(m_new)
+                    else BloomShardSet
+                )
+                bloom = cls.build(
                     seen_next.select("url_hash"),
                     num_shards=cfg.bloom_shards,
                     fpr=cfg.bloom_fpr,
-                    expected_per_shard=max(64, 4 * bloom.capacity_per_shard),
+                    expected_per_shard=new_expected,
                 )
         # revisit rule (ROUND SPEC v2 step 7): freshness 'always' children
         # bypass the seen-set dedup (the page may have changed; history above
@@ -929,9 +1131,14 @@ class CrawlEngine:
             "url",
             "left_anti",
         )
-        # persist: both the allowed (frontier) and denied (excluded) branches
-        # read this frame — without it the Bloom probe + joins run twice
-        fresh = fresh.withColumn("host", extract_host(F.col("url"))).persist()
+        # localCheckpoint: both the allowed (frontier) and denied (excluded)
+        # branches read this frame, and its plan (links join + Bloom probe +
+        # anti-joins) would otherwise be re-embedded in the enqueue/write
+        # trees — truncate it like `fetched` above
+        fresh = (
+            fresh.withColumn("host", extract_host(F.col("url")))
+            .localCheckpoint(eager=True)
+        )
         fresh_allowed, fresh_denied = self._robots_allowed(fresh)
 
         # 7b+8. one window assigns enqueue_seq to children AND tail requeues:
@@ -953,6 +1160,7 @@ class CrawlEngine:
             next_map_path(F.col("p_map"), F.col("edge")).alias("map_path"),
             F.col("p_history").alias("history"),
             F.lit(None).cast("string").alias("payload_id"),
+            F.col("p_urn").alias("qualifier"),
         )
         rq_rows = fetched.filter(F.col("outcome") == "Requeued").select(
             "url",
@@ -967,14 +1175,57 @@ class CrawlEngine:
             "map_path",
             "history",
             "payload_id",
+            "qualifier",
         )
-        w_enq = Window.orderBy("_grp", "_ord", "url")
-        new_rows = (
-            child_rows.unionByName(rq_rows)
-            .withColumn("enqueue_seq", F.lit(next_seq) + F.row_number().over(w_enq))
+        # enqueue assignment: distributed rank over (_grp, _ord, url) —
+        # children before requeues, both FIFO — with NO global Window.orderBy
+        # over the rows (which would sort the whole enqueue batch in ONE
+        # task) and no driver collect of row-level data. _ord is a parent
+        # pop_seq (≤ round_capacity distinct values): prefix offsets are a
+        # running sum over the tiny (_grp, _ord) COUNTS table, the only
+        # collect is the 2-row per-group totals (which also yields
+        # n_children), and the final rank is a window per (_grp, _ord)
+        # whose sort is bounded by a single parent's fan-out.
+        union_rows = child_rows.unionByName(rq_rows).persist()
+        persisted.append(union_rows)
+        counts = (
+            union_rows.groupBy("_grp", "_ord")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
             .persist()
         )
-        n_children = new_rows.filter(F.col("_grp") == 0).count()
+        persisted.append(counts)
+        grp_totals = {
+            r["_grp"]: r["t"]
+            for r in counts.groupBy("_grp").agg(F.sum("_cnt").alias("t")).collect()
+        }
+        n_children = int(grp_totals.get(0, 0))
+        w_off = (
+            Window.partitionBy("_grp")
+            .orderBy("_ord")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = counts.withColumn(
+            "_off",
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+            + F.when(F.col("_grp") == 1, F.lit(n_children)).otherwise(F.lit(0)),
+        )
+        w_enq = Window.partitionBy("_grp", "_ord").orderBy("url")
+        new_rows = (
+            union_rows.join(offs.select("_grp", "_ord", "_off"), ["_grp", "_ord"])
+            .withColumn(
+                "enqueue_seq",
+                (F.lit(next_seq) + F.col("_off") + F.row_number().over(w_enq))
+                .cast("long"),
+            )
+            .drop("_off")
+            .persist()
+        )
+        # MATERIALIZE before the concurrent write jobs: several of them scan
+        # new_rows, and a first-touch race on an unfilled cached frame from
+        # parallel jobs starves the few local executor slots (tasks block on
+        # the cache-fill lock while holding slots). One cheap count over the
+        # already-cached inputs fills the blocks once, serially.
+        new_rows.count()
         tr.mark("children+enqueue (count)")
         new_rows_clean = new_rows.select(
             "url",
@@ -990,10 +1241,21 @@ class CrawlEngine:
             "map_path",
             "history",
             "payload_id",
+            "qualifier",
         )
 
-        # 9. bucket spend (compute cost per popped row) + throttle benching
-        spend = fetched.groupBy("host").agg(F.sum("_cost").alias("_n"))
+        # 9. bucket spend (compute cost per popped row) + throttle benching.
+        # Measured mode: charge = max(1, elapsed - baseline) once a baseline
+        # exists; the preallocated static cost until then (computeLimiter's
+        # consume(elapsed - baseline - preallocated) reconciliation)
+        if cfg.measured_costs and baseline_prev is not None:
+            charge_col = F.greatest(
+                F.lit(1).cast("long"),
+                F.col("_elapsed") - F.lit(int(baseline_prev)),
+            )
+        else:
+            charge_col = F.col("_cost")
+        spend = fetched.groupBy("host").agg(F.sum(charge_col).alias("_n"))
         levels_next = levels.join(spend, "host", "left").select(
             "host",
             (F.col("level") - F.coalesce(F.col("_n"), F.lit(0))).alias("level"),
@@ -1031,22 +1293,56 @@ class CrawlEngine:
         # ---- state writes: merge-on-read. A round writes ONLY the rows it
         # touched — frontier adds (children+requeues), frontier removes
         # (popped+dead enqueue_seqs, i.e. Iceberg-style equality deletes),
-        # deadletter adds, and the (tiny, per-host) token-bucket table.
-        # Every cfg.compact_every rounds the current frontier/seen views are
-        # rewritten as new BASES, which bounds both the delta-dir fan-in and
-        # the delete-key anti-join a read performs.
-        full_tables = {"host_state": levels_next}
+        # deadletter adds, docs upserts, and the CHANGED host-state rows.
+        # Every cfg.compact_every rounds the current frontier/seen/stored/
+        # host_state views are rewritten as new BASES, which bounds both the
+        # delta-dir fan-in and the delete-key anti-join a read performs.
+        hs_old = host_state.select(
+            "host",
+            F.col("level").alias("_ol"),
+            F.col("bench_until").alias("_ob"),
+        )
+        hs_delta = (
+            levels_next.join(hs_old, "host", "left")
+            .filter(
+                F.col("_ol").isNull()
+                | (F.col("_ol") != F.col("level"))
+                | (F.col("_ob") != F.col("bench_until"))
+            )
+            .select(
+                "host",
+                # delta parquet must match the base table's long schema
+                F.col("level").cast("long").alias("level"),
+                F.col("bench_until").cast("long").alias("bench_until"),
+                F.lit(rnd).cast("int").alias("round"),
+            )
+        )
+        full_tables = {}
         new_bases = dict(bases)
         if cfg.compact_every and rnd - bases["frontier"] >= cfg.compact_every:
             full_tables["frontier"] = remaining.unionByName(new_rows_clean)
             new_bases["frontier"] = rnd
             full_tables["seen"] = seen_next
             new_bases["seen"] = rnd
+            full_tables["host_state"] = levels_next
+            new_bases["host_state"] = rnd
+            # doc-store lookup base: prior view ∪ this round's upserts
+            prior = (
+                stored_lookup
+                if stored_lookup is not None
+                else self._empty(STORED_SCHEMA)
+            )
+            full_tables["stored"] = (
+                prior.unionByName(docs_new.select("url", "round", "version"))
+                .groupBy("url")
+                .agg(F.max("round").alias("round"), F.max("version").alias("version"))
+            )
+            new_bases["stored"] = rnd
         frontier_adds = new_rows_clean
         if ingested is not None:
             frontier_adds = ingested.unionByName(frontier_adds)
         writes: list = [
-            lambda: self.store.write_tables(rnd, full_tables),
+            lambda: self.store.write_append(rnd, "host_state_adds", hs_delta),
             lambda: self.store.write_append(rnd, "frontier_adds", frontier_adds),
             lambda: self.store.write_append(
                 rnd,
@@ -1056,6 +1352,8 @@ class CrawlEngine:
             lambda: self.store.write_append(rnd, "seen", newly_seen),
             lambda: self.store.write_append(rnd, "order_log", log_rows),
         ]
+        if full_tables:  # compaction round: rewrite the MOR bases
+            writes.append(lambda: self.store.write_tables(rnd, full_tables))
         if n_dead > 0 or ev_dead is not None:
             dl = dead.select(
                 "url",
@@ -1115,26 +1413,74 @@ class CrawlEngine:
         # durability point is still the single manifest swap in commit().)
         _run_writes(writes)
         tr.mark("state writes")
+        # ingest bookkeeping: {staged filename → absorb round}. Files whose
+        # absorb round is at or before the (new) frontier base pointer are
+        # durable history — delete them from the staging dir and prune their
+        # manifest entries, so neither grows with crawl length (bounded-
+        # metadata hygiene; reference analog: tracker tag TTL,
+        # redisRequestTracker.js:106-111). Deleting before the commit is
+        # safe: a crash replays only THIS round, and these files were
+        # absorbed by earlier, committed rounds.
+        prev_ing = manifest.get("ingested", {})
+        if isinstance(prev_ing, list):  # legacy manifests: names only
+            prev_ing = dict.fromkeys(prev_ing, manifest["round"])
+        ingested_map = dict(prev_ing)
+        for name in pending_files:
+            ingested_map[name] = rnd
+        if self.cfg.ingest_dir:
+            gc_cutoff = min(new_bases["frontier"], rnd - 1)
+            for name, r_abs in list(ingested_map.items()):
+                if r_abs <= gc_cutoff:
+                    try:
+                        os.remove(os.path.join(self.cfg.ingest_dir, name))
+                    except FileNotFoundError:
+                        pass
+                    del ingested_map[name]
         extras = {
             "next_seq": next_seq + n_children + n_requeued,
             "total_popped": total_popped + n_selected,
             "round": rnd,
             "frontier_size": n_frontier_after,
             "bases": new_bases,
-            "ingested": sorted(set(manifest.get("ingested", [])) | set(pending_files)),
+            "ingested": ingested_map,
             "docs_total": manifest.get("docs_total", 0) + hist.get("Processed", 0),
         }
+        if cfg.measured_costs:
+            if round_min is not None:
+                extras["cost_baseline"] = (
+                    round_min
+                    if baseline_prev is None
+                    else min(int(baseline_prev), round_min)
+                )
+            elif baseline_prev is not None:
+                extras["cost_baseline"] = baseline_prev
         if cfg.use_bloom:
-            extras["bloom"] = _bloom_manifest(bloom)
+            extras["bloom"] = _bloom_manifest(bloom, bloom_total)
         self.store.commit(rnd, extras)
-        fetched.unpersist()
+        _free_checkpoint(fetched)
         new_rows.unpersist()
-        fresh.unpersist()
+        _free_checkpoint(fresh)
         for f in persisted:
             f.unpersist()
         if cfg.use_bloom:
             # cache the new set for next round; free superseded broadcasts
             old = self._bloom
+            if isinstance(bloom, BloomShardTable):
+                # TRUNCATE LINEAGE: re-root the cached table on the parquet
+                # rows this round just persisted — otherwise each round's
+                # merged plan nests the previous round's cogroup (+ its whole
+                # candidate pipeline) and analysis cost grows without bound
+                fresh = BloomShardTable.from_rows_df(
+                    self.store.read_appends(
+                        self.spark, "bloom", rnd, from_version=rnd
+                    ),
+                    num_shards=bloom.num_shards,
+                    m_bits=bloom.m_bits,
+                    k_funcs=bloom.k_funcs,
+                    capacity_per_shard=bloom.capacity_per_shard,
+                )
+                bloom.destroy()
+                bloom = fresh
             self._bloom, self._bloom_version = bloom, rnd
             # old and bloom_prev are normally the same object; dedup by id
             for stale in {id(s): s for s in (old, bloom_prev)}.values():
@@ -1185,6 +1531,7 @@ class CrawlEngine:
                 F.lit("/").alias("map_path"),
                 F.array().cast("array<string>").alias("history"),
                 F.lit(None).cast("string").alias("payload_id"),
+                root_urn(F.lit("host"), F.col("host")).alias("qualifier"),
             )
         )
         n_revived = revived.count()
@@ -1195,14 +1542,9 @@ class CrawlEngine:
 
         # revived rows are frontier ADDS; the deadletter table is compacted
         # in place (its base pointer moves to this round) — requeue is the
-        # one op that removes deadletter rows, and it is rare by nature
-        self.store.write_tables(
-            rnd,
-            {
-                "host_state": self.store.read(self.spark, "host_state", version),
-                "deadletter": keep,
-            },
-        )
+        # one op that removes deadletter rows, and it is rare by nature.
+        # host_state is untouched: its base pointer + deltas carry forward.
+        self.store.write_tables(rnd, {"deadletter": keep})
         self.store.write_append(rnd, "frontier_adds", revived)
         new_bases = dict(bases)
         new_bases["deadletter"] = rnd
@@ -1215,6 +1557,8 @@ class CrawlEngine:
             "ingested": manifest.get("ingested", []),
             "docs_total": manifest.get("docs_total", 0),
         }
+        if "cost_baseline" in manifest:
+            extras["cost_baseline"] = manifest["cost_baseline"]
         if "bloom" in manifest:
             # blobs are per-version: carry the previous version's forward
             self._write_bloom(

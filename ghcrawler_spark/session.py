@@ -51,6 +51,11 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The engine's per-round plan is a wide DAG over one hub frame; the
+        # plan STRINGS Spark renders for listeners/debug grow with the tree
+        # and are built once per concurrent job — cap them so diagnostics
+        # can never OOM the driver heap (execution is unaffected).
+        .config("spark.sql.maxPlanStringLength", str(2 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

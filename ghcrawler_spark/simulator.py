@@ -7,13 +7,30 @@ queue rotation is replaced by seeded integer virtual-time rotation in BOTH
 the simulator and the Spark engine, so order is well-defined and
 parallelism-independent).
 
-=== ROUND SPEC v2 (the contract tests pin engine == simulator on) ===
+=== ROUND SPEC v3 (the contract tests pin engine == simulator on) ===
 
 State: frontier rows (url, type, tier, host, enqueue_seq, attempt,
-policy_fetch, policy_freshness, map_path, history, payload_id);
+policy_fetch, policy_freshness, map_path, history, payload_id, qualifier);
 seen set (urls ever completed); stored docs {url: (round, version)};
 host state (integer token bucket level, bench_until round); order log;
-docs; deadletter; excluded; next_seq counter; pending event batches.
+docs; deadletter; excluded; next_seq counter; pending event batches;
+cost_baseline (measured-cost mode running min).
+
+v3 additions over v2:
+ - URN lineage (lib/request.js:106-140): every frontier row carries a
+   ``qualifier`` — seeds/events anchor at ``urn:host:<host>``; a child's
+   qualifier is its parent's URN (qualifier:type:stable_hash(url)); stored
+   docs persist (urn, parent_urn), so the doc store answers URN-prefix
+   queries ("everything under host X") like the reference's mapping stores.
+ - Webhook authenticity (routes/webhook.js:15-24): with webhook_secret set,
+   an event must carry sig == HMAC-SHA1(secret, url|type); mismatches (and
+   unsigned events) deadletter with reason 'unverified' BEFORE any other
+   check.
+ - Measured compute cost (computeLimiter.js:44-77): with measured_costs,
+   politeness still preallocates the static per-type cost, but step 9
+   charges max(1, synthetic_elapsed − cost_baseline) once a baseline
+   exists; cost_baseline = running min of observed elapsed, refreshed from
+   each round's observations after the spend.
 
 Round r = 1, 2, ...:
  0. event ingest: pending webhook-style events (sorted by (event_ms, url),
@@ -88,6 +105,7 @@ oracle tests.
 from __future__ import annotations
 
 import hashlib
+import hmac as _hmac
 import re
 from dataclasses import dataclass, field
 
@@ -189,6 +207,43 @@ class SimConfig:
     type_traits: dict | None = None  # type -> trait (default: the type)
     bench_on_throttle: bool = False
     bench_rounds: int = 2
+    # webhook authenticity gate (routes/webhook.js:15-24): when set, events
+    # must carry sig == HMAC-SHA1(secret, url|type); mismatches deadletter
+    # with reason 'unverified'
+    webhook_secret: str | None = None
+    # measured compute-cost mode (computeLimiter.js:44-77): politeness still
+    # PREALLOCATES static costs, but the bucket spend (step 9) charges
+    # observed elapsed minus the running-min baseline, refreshed per round
+    measured_costs: bool = False
+
+
+def webhook_signature(secret: str, url: str, type_: str) -> str:
+    """Python twin of streaming.event_source.hmac_sha1_hex over url|type."""
+    return _hmac.new(
+        secret.encode(), f"{url}|{type_}".encode(), hashlib.sha1
+    ).hexdigest()
+
+
+def synthetic_elapsed(url: str, static_cost: int) -> int:
+    """Deterministic 'observed elapsed' for measured-cost mode: a fixed
+    overhead (which the running-min baseline learns to subtract,
+    computeLimiter.js:44-60) + work proportional to the static cost +
+    per-url jitter."""
+    return 20 + static_cost * 10 + stable_hash(url) % 7
+
+
+def root_qualifier(url: str) -> str:
+    """Seed/event rows anchor the URN chain at the host entity
+    (lib/request.js:106-117: a root request's qualifier is its own URN)."""
+    return f"urn:host:{host_of(url)}"
+
+
+def row_urn(qualifier: str, type_: str, url: str) -> str:
+    """A row's own URN: qualifier + ':' + type + ':' + id, with the id the
+    stable url hash (the graft's deterministic entity id — colon-free,
+    unlike the raw url). Children inherit this as THEIR qualifier
+    (createQualifiedUrn, lib/request.js:113-117)."""
+    return f"{qualifier}:{type_}:{stable_hash(url)}"
 
 
 @dataclass
@@ -204,6 +259,7 @@ class FrontierRow:
     map_path: str = "/"
     history: tuple = ()
     payload_id: str | None = None
+    qualifier: str = ""
 
 
 class ReferenceSimulator:
@@ -227,6 +283,7 @@ class ReferenceSimulator:
         self.pending_events: list[dict] = []
         self.next_seq = 0
         self.round = 0
+        self.cost_baseline: int | None = None  # running min observed elapsed
 
     def _denied(self, url: str) -> bool:
         host = host_of(url)
@@ -260,6 +317,7 @@ class ReferenceSimulator:
                     policy_fetch=s.get("policy_fetch", "originStorage"),
                     policy_freshness=s.get("policy_freshness", "match"),
                     map_path=s.get("map_path", "/"),
+                    qualifier=root_qualifier(s["url"]),
                 )
             )
 
@@ -280,6 +338,21 @@ class ReferenceSimulator:
         inflight = {r.url for r in self.frontier}
         valid: dict[str, dict] = {}
         for e in events:
+            if self.cfg.webhook_secret is not None:
+                u, t = e.get("url"), e.get("type")
+                ok = (
+                    u is not None
+                    and t is not None
+                    and e.get("sig")
+                    == webhook_signature(self.cfg.webhook_secret, u, t)
+                )
+                if not ok:
+                    self.deadletter.append(
+                        {"url": u or "", "type": t or "", "tier": "events",
+                         "round": self.round, "attempt": 0,
+                         "reason": "unverified"}
+                    )
+                    continue
             if is_malformed(e.get("url"), e.get("type")):
                 self.deadletter.append(
                     {"url": e.get("url") or "", "type": e.get("type") or "",
@@ -304,6 +377,7 @@ class ReferenceSimulator:
                     enqueue_seq=self.next_seq, policy_fetch=pf,
                     policy_freshness=fresh, map_path=mp,
                     payload_id=e.get("payload_id"),
+                    qualifier=root_qualifier(u),
                 )
             )
             absorbed += 1
@@ -389,7 +463,7 @@ class ReferenceSimulator:
             fsrc = fetch_source(r.policy_fetch, r.type, stored)
             if r.payload_id is not None:
                 outcome = "Processed"
-                new_docs.append((r.url, r.payload_id))
+                new_docs.append((r, r.payload_id))
                 self.seen.add(r.url)
             elif (
                 cfg.inject_failures
@@ -427,7 +501,7 @@ class ReferenceSimulator:
                         image_id = self.corpus.get(r.url)
                         if image_id is None and stored:
                             image_id = f"stored:{r.url}"
-                        new_docs.append((r.url, image_id))
+                        new_docs.append((r, image_id))
                     else:
                         outcome = "Unchanged"
                 self.seen.add(r.url)
@@ -436,16 +510,38 @@ class ReferenceSimulator:
                  "pop_seq": pop_seq, "url": r.url, "type": r.type,
                  "tier": r.tier, "host": r.host, "outcome": outcome}
             )
-        for url, image_id in new_docs:
-            self.stored[url] = (self.round, cfg.processor_version)
+        for r, image_id in new_docs:
+            self.stored[r.url] = (self.round, cfg.processor_version)
             self.docs.append(
-                {"image_id": image_id, "url": url, "round": self.round,
-                 "version": cfg.processor_version}
+                {"image_id": image_id, "url": r.url, "round": self.round,
+                 "version": cfg.processor_version,
+                 "urn": row_urn(r.qualifier, r.type, r.url),
+                 "parent_urn": r.qualifier}
             )
 
-        # 9. bucket spend (compute cost per popped row) + benching
-        for r in selected:
-            self.levels[r.host] -= self._cost(r.type)
+        # 9. bucket spend (compute cost per popped row) + benching.
+        # Measured mode (computeLimiter.js:44-77): charge observed elapsed
+        # minus last round's running-min baseline (preallocation = the
+        # static cost — used while no baseline exists yet); refresh the
+        # baseline AFTER the spend from this round's observations.
+        if cfg.measured_costs:
+            observed = []
+            for r in selected:
+                el = synthetic_elapsed(r.url, self._cost(r.type))
+                observed.append(el)
+                if self.cost_baseline is None:
+                    charge = self._cost(r.type)
+                else:
+                    charge = max(1, el - self.cost_baseline)
+                self.levels[r.host] -= charge
+            if observed:
+                mn = min(observed)
+                self.cost_baseline = (
+                    mn if self.cost_baseline is None else min(self.cost_baseline, mn)
+                )
+        else:
+            for r in selected:
+                self.levels[r.host] -= self._cost(r.type)
         if cfg.bench_on_throttle:
             for h in throttled_hosts:
                 self.bench_until[h] = self.round + cfg.bench_rounds
@@ -490,6 +586,7 @@ class ReferenceSimulator:
                     policy_freshness=parent.policy_freshness,
                     map_path=next_mp,
                     history=tuple(parent.history) + (f"{parent.type}@{parent.url}",),
+                    qualifier=row_urn(parent.qualifier, parent.type, parent.url),
                 )
             )
 

@@ -194,6 +194,7 @@ class SnapshotStore:
             ("frontier_removes", bases.get("frontier")),
             ("deadletter_adds", bases.get("deadletter")),
             ("seen", bases.get("seen")),
+            ("host_state_adds", bases.get("host_state")),
         )
         for name, bv in mor:
             if bv is None:

@@ -30,29 +30,73 @@ still apply at absorb time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ghcrawler_spark.functions.urls import canonicalize_url
 
 EVENTS_TIER = "events"  # weight 10 (crawlerFactory.js:86)
 
-STAGED_SCHEMA = "url string, type string, event_ms long, payload_id string"
+STAGED_SCHEMA = (
+    "url string, type string, event_ms long, payload_id string, verified boolean"
+)
 
 
-def events_to_staged_rows(events: DataFrame) -> DataFrame:
+def _hmac_pads(secret: str) -> tuple[bytes, bytes]:
+    key = secret.encode()
+    if len(key) > 64:
+        key = hashlib.sha1(key).digest()
+    key = key.ljust(64, b"\x00")
+    ipad = bytes(b ^ 0x36 for b in key)
+    opad = bytes(b ^ 0x5C for b in key)
+    return ipad, opad
+
+
+def hmac_sha1_hex(secret: str, msg: Column) -> Column:
+    """HMAC-SHA1 as a pure Column expression (webhook signature check,
+    routes/webhook.js:15-24): sha1(opad ‖ sha1(ipad ‖ msg)), with the
+    key-derived pads folded in driver-side as binary literals — the per-row
+    work stays JVM-side (two sha1 calls), no UDF."""
+    ipad, opad = _hmac_pads(secret)
+    inner = F.sha1(F.concat(F.lit(ipad), F.encode(msg, "UTF-8")))
+    return F.sha1(F.concat(F.lit(opad), F.unhex(inner)))
+
+
+def event_message(url: Column, type_: Column) -> Column:
+    """The signed payload: url|type (the graft's webhook body)."""
+    return F.concat(url, F.lit("|"), type_)
+
+
+def events_to_staged_rows(events: DataFrame, secret: str | None = None) -> DataFrame:
     """Pure transformation (works on streaming and batch frames): raw event
-    rows (url, type, ts[, payload_id]) → staged rows for the engine's ingest
-    dir. event_ms orders first-occurrence-wins attenuation at absorb time."""
+    rows (url, type, ts[, payload_id, sig]) → staged rows for the engine's
+    ingest dir. event_ms orders first-occurrence-wins attenuation at absorb
+    time.
+
+    With ``secret`` set, each row's ``sig`` is checked against
+    HMAC-SHA1(secret, url|type) — the reference drops webhook posts whose
+    X-Hub-Signature doesn't match (routes/webhook.js:15-24); here mismatches
+    are staged with verified=false so the engine can deadletter them with
+    reason 'unverified' (auditable, vs the reference's silent 400)."""
     cols = set(events.columns)
     payload = (
         F.col("payload_id") if "payload_id" in cols else F.lit(None)
     ).cast("string")
+    if secret is None:
+        verified = F.lit(True)
+    else:
+        sig = (F.col("sig") if "sig" in cols else F.lit(None)).cast("string")
+        expected = hmac_sha1_hex(secret, event_message(F.col("url"), F.col("type")))
+        # null url/type/sig → null comparison → unverified, not dropped
+        verified = F.coalesce(sig == expected, F.lit(False))
     return events.select(
         canonicalize_url("url").alias("url"),
         F.col("type"),
         F.unix_millis(F.col("ts")).alias("event_ms"),
         payload.alias("payload_id"),
+        verified.alias("verified"),
     )
 
 
@@ -62,6 +106,7 @@ def attach_event_stream(
     checkpoint_dir: str,
     watermark: str = "10 seconds",
     query_name: str = "events-to-staging",
+    secret: str | None = None,
 ):
     """Wire a streaming event frame into the engine's staging directory.
 
@@ -77,7 +122,7 @@ def attach_event_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        rows = events_to_staged_rows(batch_df)
+        rows = events_to_staged_rows(batch_df, secret=secret)
         # intra-batch attenuation: first occurrence per url wins (J4)
         w = Window.partitionBy("url").orderBy("event_ms", "type")
         rows = (

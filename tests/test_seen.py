@@ -3,10 +3,18 @@ produce false negatives (a seen URL re-crawled) and must bound false
 positives (SURVEY.md §5 invariant tests; reference exactness contract:
 redisRequestTracker tags are exact, so our Bloom MUST be confirm-joined)."""
 
+import io
+from contextlib import redirect_stdout
+
 import numpy as np
 from pyspark.sql import functions as F
 
-from ghcrawler_spark.operators.seen import BloomShardSet, filter_unseen, optimal_params
+from ghcrawler_spark.operators.seen import (
+    BloomShardSet,
+    BloomShardTable,
+    filter_unseen,
+    optimal_params,
+)
 
 
 def test_no_false_negatives(spark):
@@ -44,6 +52,45 @@ def test_filter_unseen_none_bloom_degrades(spark):
     cand = spark.range(50, 150).select(F.col("id").alias("url_hash"))
     out = filter_unseen(cand, seen, None)
     assert sorted(r["url_hash"] for r in out.collect()) == list(range(100, 150))
+
+
+def test_shard_local_equals_broadcast_equals_exact(spark):
+    """The 10^10-shape probe (BloomShardTable cogroup) must return the SAME
+    unseen set as the broadcast probe and the exact anti-join, on fuzzed
+    keys (mixed seen/new, negative hashes, shard gaps)."""
+    rng = np.random.default_rng(7)
+    seen_keys = [int(x) for x in rng.integers(-(2**62), 2**62, 4000)]
+    cand_keys = seen_keys[::3] + [int(x) for x in rng.integers(-(2**62), 2**62, 3000)]
+    seen = spark.createDataFrame([(k,) for k in seen_keys], "url_hash long")
+    cand = spark.createDataFrame([(k,) for k in set(cand_keys)], "url_hash long")
+    bc = BloomShardSet.build(seen, num_shards=8, fpr=0.02)
+    tbl = BloomShardTable.build(seen, num_shards=8, fpr=0.02)
+    exact = sorted(r["url_hash"] for r in filter_unseen(cand, seen, None).collect())
+    via_bc = sorted(r["url_hash"] for r in filter_unseen(cand, seen, bc).collect())
+    via_tbl = sorted(r["url_hash"] for r in filter_unseen(cand, seen, tbl).collect())
+    assert via_tbl == exact
+    assert via_bc == exact
+
+
+def test_shard_local_merge_and_no_broadcast_in_plan(spark):
+    """Incremental merged() (cogroup OR) keeps the no-false-negative
+    property, and the shard-local probe plan contains NO broadcast of the
+    shard table — each task cogroups with exactly its own shard row."""
+    first = spark.range(0, 2000).select(F.col("id").alias("url_hash"))
+    second = spark.range(50_000, 52_000).select(F.col("id").alias("url_hash"))
+    tbl = BloomShardTable.build(first, num_shards=8, fpr=0.01)
+    merged = tbl.merged(second)
+    both = first.unionByName(second)
+    assert merged.probe(both).filter(~F.col("maybe_seen")).count() == 0
+    probed = merged.probe(both)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+    merged.destroy()
+    tbl.destroy()
 
 
 def test_optimal_params_monotonic():

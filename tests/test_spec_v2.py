@@ -54,7 +54,8 @@ def _build(spark, tmp_path, corpus, links, seeds, cfg_kw):
         k: v for k, v in cfg_kw.items()
         if k not in ("use_bloom", "bloom_shards", "bloom_fpr", "compact_every",
                      "validate_images", "ingest_dir", "politeness_salt",
-                     "politeness_hot_threshold")
+                     "politeness_hot_threshold", "bloom_mode",
+                     "bloom_broadcast_max_bytes")
     }))
     return eng, store, sim, seeds_df
 
@@ -162,6 +163,34 @@ def test_compute_cost_budgets(spark, tmp_path):
         k = (r["round"], r["host"])
         spend[k] = spend.get(k, 0) + costs.get(r["type"], 1)
     assert spend and all(v <= 4 for v in spend.values()), spend
+
+
+def test_measured_compute_costs(spark, tmp_path):
+    """A2 measured mode (computeLimiter.js:44-77): politeness preallocates
+    the static cost, the bucket spend charges observed elapsed minus the
+    running-min baseline, and the baseline (a manifest scalar) refreshes
+    per round from the round's observations. Engine == simulator on the
+    order log AND on the learned baseline."""
+    links = {
+        f"{H}/p{i}": [("images", f"{H}/img/{i}", "image"),
+                      ("pages", f"{H}/p{i+1}", "page")]
+        for i in range(5)
+    }
+    corpus = {f"{H}/img/{i}": f"img{i}" for i in range(5)}
+    seeds = [{"url": f"{H}/p0", "type": "page"}]
+    eng, store, sim, seeds_df = _build(
+        spark, tmp_path, corpus, links, seeds,
+        {"round_capacity": 6, "bucket_capacity": 8, "bucket_fill": 4,
+         "compute_costs": {"image": 2, "page": 1}, "measured_costs": True,
+         "inject_failures": False},
+    )
+    _run_both(eng, sim, seeds_df, seeds)
+    eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+    assert eng_log == sim_log
+    assert eng_seen == sim_seen
+    m = store.read_manifest()
+    assert sim.cost_baseline is not None
+    assert m["cost_baseline"] == sim.cost_baseline
 
 
 def test_trait_budgets_cap_pops(spark, tmp_path):
@@ -292,6 +321,53 @@ def test_events_ingest_payload_and_priority(spark, tmp_path):
     dls = {(r["url"], r["reason"]) for r in eng.current_deadletter().collect()}
     assert ("not-a-url", "malformed") in dls
     assert {(d["url"], d["reason"]) for d in sim.deadletter} == dls
+
+
+def test_ingest_gc_bounds_manifest_and_staging(spark, tmp_path):
+    """Absorbed staging files older than the frontier base pointer are
+    deleted and their manifest bookkeeping pruned (bounded-metadata hygiene,
+    tracker-TTL analog): across 3 compaction cycles the 'ingested' map stays
+    within the compaction window and the staging dir holds only un-GC'd
+    files; the events scenario remains engine == simulator."""
+    import os
+
+    links = {}
+    corpus = {f"{H}/img/{i}": f"img{i}" for i in range(8)}
+    seeds = []
+    ingest = str(tmp_path / "staging")
+    os.makedirs(ingest)
+    eng, store, sim, seeds_df = _build(
+        spark, tmp_path, corpus, links, seeds,
+        {"round_capacity": 4, "inject_failures": False, "compact_every": 2,
+         "ingest_dir": ingest},
+    )
+    eng.seed(spark.createDataFrame([], "url string, type string, tier string"))
+    sim.seed([])
+    for i in range(6):
+        ev = [{"url": f"{H}/img/{i}", "type": "image", "event_ms": i,
+               "payload_id": None}]
+        spark.createDataFrame(
+            [(e["url"], e["type"], e["event_ms"], e["payload_id"]) for e in ev],
+            "url string, type string, event_ms long, payload_id string",
+        ).coalesce(1).write.mode("append").parquet(ingest)
+        sim.inject_events(ev)
+        assert eng.run_round()
+        assert sim.run_round()
+
+    eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+    assert eng_log == sim_log
+    assert eng_seen == sim_seen
+    m = store.read_manifest()
+    ing = m["ingested"]
+    base = m["bases"]["frontier"]
+    # only files absorbed after the base pointer (or this round) survive
+    assert ing and all(r > base or r == m["round"] for r in ing.values()), (ing, base)
+    assert len(ing) <= 2 + 1  # compaction window, not crawl length
+    on_disk = {
+        f for f in os.listdir(ingest)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    }
+    assert on_disk == set(ing), "GC'd files must leave the staging dir"
 
 
 def test_malformed_seeds_deadletter(spark, tmp_path):

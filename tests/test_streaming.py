@@ -28,6 +28,82 @@ def test_events_to_staged_rows_shape(spark):
     assert by_type["image"]["event_ms"] > by_type["page"]["event_ms"]
 
 
+def test_webhook_signature_gate(spark, tmp_path):
+    """Webhook authenticity (routes/webhook.js:15-24): a tampered signature
+    stages verified=false and the engine deadletters it with reason
+    'unverified'; the genuine event crawls. Engine == simulator on the
+    order log and the deadletter."""
+    from ghcrawler_spark.plans.round_engine import CrawlConfig, CrawlEngine
+    from ghcrawler_spark.simulator import (
+        ReferenceSimulator,
+        SimConfig,
+        webhook_signature,
+    )
+    from ghcrawler_spark.sources.snapshot import SnapshotStore
+
+    secret = "s3cr3t-hook"
+    good = ("http://h1.test/img/ok", "image")
+    bad = ("http://h1.test/img/bad", "image")
+    ev = spark.createDataFrame(
+        [
+            (good[0], good[1], "2024-01-01 00:00:01",
+             webhook_signature(secret, *good)),
+            (bad[0], bad[1], "2024-01-01 00:00:02", "deadbeef"),  # tampered
+        ],
+        "url string, type string, ts string, sig string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    staged = events_to_staged_rows(ev, secret=secret)
+    got = {r["url"]: r["verified"] for r in staged.collect()}
+    assert got == {good[0]: True, bad[0]: False}
+
+    ingest = str(tmp_path / "staging")
+    os.makedirs(ingest)
+    staged.coalesce(1).write.mode("append").parquet(ingest)
+
+    corpus = spark.createDataFrame(
+        [("imgOK", good[0])], "image_id string, url string"
+    )
+    links = spark.createDataFrame(
+        [("http://_none_/", "pages", "http://_none_/x", "page")],
+        "src_url string, edge string, dst_url string, dst_type string",
+    )
+    store = SnapshotStore(str(tmp_path / "store"))
+    eng = CrawlEngine(
+        spark, store, corpus, links,
+        CrawlConfig(ingest_dir=ingest, inject_failures=False, round_capacity=4),
+    )
+    eng.seed(spark.createDataFrame([], "url string, type string, tier string"))
+    for _ in range(5):
+        if not eng.run_round():
+            break
+
+    sim = ReferenceSimulator(
+        {good[0]: "imgOK"}, {},
+        SimConfig(inject_failures=False, round_capacity=4, webhook_secret=secret),
+    )
+    sim.seed([])
+    sim.inject_events(
+        [
+            {"url": good[0], "type": good[1], "event_ms": 1,
+             "sig": webhook_signature(secret, *good)},
+            {"url": bad[0], "type": bad[1], "event_ms": 2, "sig": "deadbeef"},
+        ]
+    )
+    for _ in range(5):
+        if not sim.run_round():
+            break
+
+    eng_log = [
+        (r["url"], r["outcome"])
+        for r in store.read_appends(spark, "order_log").orderBy("seq").collect()
+    ]
+    sim_log = [(r["url"], r["outcome"]) for r in sim.order_log]
+    assert eng_log == sim_log == [(good[0], "Processed")]
+    eng_dl = {(r["url"], r["reason"]) for r in eng.current_deadletter().collect()}
+    sim_dl = {(d["url"], d["reason"]) for d in sim.deadletter}
+    assert eng_dl == sim_dl == {(bad[0], "unverified")}
+
+
 def test_stream_to_staging_with_dedup_and_restart(spark, tmp_path):
     src = str(tmp_path / "src")
     staging = str(tmp_path / "staging")

@@ -82,6 +82,54 @@ def test_requeue_deadletters_roundtrip(spark, drained, tmp_path):
     assert dead_after == dead_before
 
 
+def test_docs_carry_urn_lineage(spark, drained, tmp_path):
+    """Stored docs carry the qualifier chain (urn + parent_urn) exactly as
+    the reference builds it (lib/request.js:106-140, crawler.js:386-421):
+    engine docs == simulator docs on (url, urn, parent_urn), every urn
+    parses back to its parent, and a URN-prefix rollup answers 'all docs
+    under host X' — the reference's primary storage query."""
+    from ghcrawler_spark.simulator import ReferenceSimulator, SimConfig
+
+    root, cdf, ldf = drained
+    store = SnapshotStore(root)
+    fx = fixtures.generate(seed=42, n_hosts=4, n_seeds=2)
+    corpus = dict(zip(fx.corpus["url"], fx.corpus["image_id"]))
+    links = {}
+    for row in fx.links.itertuples(index=False):
+        links.setdefault(row.src_url, []).append((row.edge, row.dst_url, row.dst_type))
+    for v in links.values():
+        v.sort()
+    sim = ReferenceSimulator(corpus, links, SimConfig(max_rounds=60))
+    sim.seed(fx.seeds.to_dict("records"))
+    sim.run()
+
+    eng_docs = {
+        (r["url"], r["round"], r["urn"], r["parent_urn"])
+        for r in store.read_appends(spark, "docs").collect()
+    }
+    sim_docs = {
+        (d["url"], d["round"], d["urn"], d["parent_urn"]) for d in sim.docs
+    }
+    assert eng_docs == sim_docs
+    assert eng_docs, "drained crawl must store docs"
+    # every stored urn decomposes back into (parent_urn, type)
+    parsed = (
+        store.read_appends(spark, "docs")
+        .select("urn", "parent_urn", urn_parent("urn").alias("p"))
+        .collect()
+    )
+    assert all(r["p"] == r["parent_urn"] for r in parsed)
+    # URN-prefix rollup: docs per host subtree, computable from urn alone
+    roll = (
+        store.read_appends(spark, "docs")
+        .groupBy(F.regexp_extract("urn", "^urn:host:([^:]+)", 1).alias("host"))
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in roll) == len(eng_docs)
+    assert all(r["host"] for r in roll)
+
+
 def test_requeue_with_filter(spark, drained, tmp_path):
     eng, store = _engine_over_copy(spark, drained, tmp_path)
     dead = [r.url for r in eng.current_deadletter().collect()]

@@ -119,6 +119,41 @@ def main() -> int:
     checks.append(("flagship anti-join present (seen-set)",
                    "LeftAnti" in p, ""))
 
+    # 7. shard-local Bloom probe (the 10^10-key path): candidates COGROUP
+    # with exactly their own shard row — no broadcast/driver copy of the
+    # whole shard table anywhere in the plan
+    from ghcrawler_spark.operators.seen import BloomShardTable
+
+    seen_keys = spark.range(0, 50_000).select(F.col("id").alias("url_hash"))
+    tbl = BloomShardTable.build(seen_keys, num_shards=8, fpr=0.01)
+    cand = spark.range(25_000, 75_000).select(F.col("id").alias("url_hash"))
+    p = explain_str(tbl.probe(cand))
+    plans["bloom_shard_local_probe"] = p
+    checks.append(("bloom shard-local probe is a cogroup with no all-shards broadcast",
+                   "FlatMapCoGroupsInPandas" in p and "BroadcastExchange" not in p,
+                   "expect FlatMapCoGroupsInPandas and no BroadcastExchange"))
+    tbl.destroy()
+
+    # 8. trait caps: budgeted traits go through the salted two-phase top-k
+    # (pre-cut per (trait, salt) BEFORE the exact single-key trait window),
+    # so no one-task window ever sorts the full polite set
+    from ghcrawler_spark.operators.frontier_ops import trait_cap
+
+    tdf = spark.range(0, 10_000).select(
+        F.concat(F.lit("http://t"), (F.col("id") % 7).cast("string"),
+                 F.lit(".test/u"), F.col("id").cast("string")).alias("url"),
+        F.when(F.col("id") % 3 == 0, "image").otherwise("page").alias("type"),
+        (F.col("id") + 1).alias("enqueue_seq"),
+    )
+    p = explain_str(trait_cap(tdf, {"image": 5}, None, salt=8))
+    plans["trait_cap"] = p
+    pre_pos = p.find("_tsalt")
+    exact_pos = p.find("_tr_rank")
+    checks.append(("trait cap: salted pre-cut window feeds the exact trait rank",
+                   pre_pos != -1 and exact_pos != -1 and pre_pos < exact_pos,
+                   "formatted plan lists operators leaf-first: the (trait,salt) "
+                   "pre-cut must appear before the single-key exact rank"))
+
     # report
     failed = 0
     lines = ["# PLANS — physical-plan audit (tools/audit_plans.py)", ""]
