@@ -245,7 +245,14 @@ class CrawlEngine:
         self.store = store
         self.cfg = cfg or CrawlConfig()
         self.corpus = corpus
-        self.links = links
+        # The link graph is static input joined on src_url EVERY round:
+        # cache it pre-hashed on the join key so the planner reuses the
+        # cached partitioning instead of re-scanning + re-shuffling the
+        # whole graph per round. (Cluster equivalent: a table bucketed by
+        # src_url; at sizes past executor storage the persist spills/
+        # degrades to the plain scan, never breaks.)
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self.links = links.repartition(n_part, "src_url").persist()
         # Bloom shard blobs are cached on the engine (keyed by the committed
         # version they reflect) and persisted to the store every round, so a
         # resumed run reloads them instead of rescanning the whole seen set
@@ -713,9 +720,35 @@ class CrawlEngine:
         host_state = self._read_host_state(version, bases).persist()
         persisted.append(host_state)
 
+        # politeness cost column (computeLimiter.js:27-77; unit costs
+        # degenerate to rank<=level) — defined early so the step-1
+        # aggregation can also total it per host
+        if cfg.compute_costs:
+            pairs = [x for t, c in cfg.compute_costs.items() for x in (F.lit(t), F.lit(int(c)))]
+            cost_col = F.coalesce(
+                F.element_at(F.create_map(*pairs), F.col("type")), F.lit(1)
+            )
+        else:
+            cost_col = F.lit(1)
+
         # 1. refill token buckets for all known + current hosts
-        #    (first-seen hosts start at capacity)
-        hosts = frontier.select("host").distinct()
+        #    (first-seen hosts start at capacity). ONE full-frontier
+        #    aggregation serves the distinct-host list here, the hot-host
+        #    detection AND the politeness short-circuit in step 3 —
+        #    host_counts is tiny (one row per host) and cached.
+        host_counts = (
+            frontier.groupBy("host")
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.sum(cost_col.cast("long")).alias("_tot_cost"),
+                F.sum(
+                    (F.col("attempt") > cfg.max_attempts).cast("long")
+                ).alias("_n_dead"),
+            )
+            .persist()
+        )
+        persisted.append(host_counts)
+        hosts = host_counts.select("host")
         levels = hosts.join(host_state, "host", "full_outer").select(
             "host",
             F.least(
@@ -734,20 +767,30 @@ class CrawlEngine:
         eligible = frontier.filter(F.col("attempt") <= cfg.max_attempts)
 
         # 3. politeness: benched hosts withheld (tokenFactory.js:41-93);
-        # per-host budget = bucket level consumed by COMPUTE COST
-        # (computeLimiter.js:27-77; unit costs degenerate to rank<=level)
-        if cfg.compute_costs:
-            pairs = [x for t, c in cfg.compute_costs.items() for x in (F.lit(t), F.lit(int(c)))]
-            cost_col = F.coalesce(
-                F.element_at(F.create_map(*pairs), F.col("type")), F.lit(1)
-            )
-        else:
-            cost_col = F.lit(1)
+        # per-host budget = bucket level consumed by COMPUTE COST.
+        # SHORT-CIRCUIT (aggregate pushdown): a host whose TOTAL frontier
+        # cost fits its refilled level takes its whole prefix anyway — those
+        # rows bypass the cumulative window entirely (exact: the window
+        # would keep every row). Only over-budget hosts' rows are ranked,
+        # so at steady state the full-frontier shuffle+window degenerates
+        # to a join against a tiny per-host flag. Totals come from the
+        # step-1 aggregation and OVERCOUNT (dead rows included) — an
+        # over-estimate can only route a host onto the exact window path,
+        # never skip a cut.
         budgeted = (
             eligible.join(levels, "host")
             .filter(F.col("bench_until") < rnd)
             .withColumn("_cost", cost_col.cast("long"))
         )
+        over_hosts = (
+            levels.join(host_counts.select("host", "_tot_cost"), "host", "left")
+            .filter(F.coalesce(F.col("_tot_cost"), F.lit(0)) > F.col("level"))
+            .select("host")
+        )
+        under_rows = budgeted.join(over_hosts, "host", "left_anti").drop(
+            "level", "bench_until"
+        )
+        budgeted = budgeted.join(over_hosts, "host", "left_semi")
         if cfg.politeness_salt:
             # ADAPTIVE SALTED two-phase top-k (kills hot-host window skew):
             # detect hosts past the hot threshold with one partial-agg count,
@@ -763,14 +806,11 @@ class CrawlEngine:
                 if cfg.politeness_hot_threshold is not None
                 else cfg.bucket_capacity * 64
             )
-            # count over the PERSISTED frontier view (one cheap cached
-            # scan) — counting `budgeted` would re-run the whole merge-on-
-            # read + bucket-join pipeline a second time
-            hot = (
-                frontier.groupBy("host")
-                .count()
-                .filter(F.col("count") > hot_threshold)
-                .select(F.col("host").alias("_hot_host"))
+            # reuse the step-1 per-host counts (one cached scan) — counting
+            # `budgeted` would re-run the whole merge-on-read + bucket-join
+            # pipeline a second time
+            hot = host_counts.filter(F.col("count") > hot_threshold).select(
+                F.col("host").alias("_hot_host")
             )
             marked = budgeted.join(
                 F.broadcast(hot), budgeted.host == F.col("_hot_host"), "left"
@@ -801,6 +841,7 @@ class CrawlEngine:
             budgeted.withColumn("_cum", F.sum("_cost").over(w_cum))
             .filter(F.col("_cum") <= F.col("level"))
             .drop("_cum", "level", "bench_until")
+            .unionByName(under_rows)
         )
         # 3b. token trait caps (tokenFactory.js:41-74) — frontier_ops.trait_cap:
         # unbudgeted traits skip the window entirely; budgeted traits get the
@@ -915,7 +956,9 @@ class CrawlEngine:
         # every one of them and the per-round plan grows multiplicatively —
         # measured to OOM the driver building plan strings. The checkpoint
         # truncates lineage to a leaf; blocks are freed after commit.
-        fetched = fetched.localCheckpoint(eager=True)
+        # (lazy: the histogram job right below is the serial first toucher,
+        # so the checkpoint materializes exactly once, in that job)
+        fetched = fetched.localCheckpoint(eager=False)
         # ONE job yields the whole outcome histogram (selected/requeued/
         # processed/...) — and, in measured mode, the round's min elapsed
         # for the baseline refresh rides the same aggregation
@@ -937,7 +980,11 @@ class CrawlEngine:
         tr.mark("select+fetch (hist)")
         n_selected = sum(hist.values())
         n_requeued = hist.get("Requeued", 0)
-        n_dead = dead.count()
+        # dead count rides the cached step-1 per-host aggregation (one row
+        # per host) instead of re-scanning the frontier
+        n_dead = int(
+            host_counts.agg(F.sum("_n_dead").alias("d")).first()["d"] or 0
+        )
         tr.mark("dead count")
 
         # order log (seq = global running pop counter)
@@ -1135,9 +1182,10 @@ class CrawlEngine:
         # branches read this frame, and its plan (links join + Bloom probe +
         # anti-joins) would otherwise be re-embedded in the enqueue/write
         # trees — truncate it like `fetched` above
+        # (lazy: the enqueue counts collect below is the serial first toucher)
         fresh = (
             fresh.withColumn("host", extract_host(F.col("url")))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         fresh_allowed, fresh_denied = self._robots_allowed(fresh)
 
