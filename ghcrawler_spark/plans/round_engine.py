@@ -786,11 +786,22 @@ class CrawlEngine:
             levels.join(host_counts.select("host", "_tot_cost"), "host", "left")
             .filter(F.coalesce(F.col("_tot_cost"), F.lit(0)) > F.col("level"))
             .select("host")
+            .persist()
         )
-        under_rows = budgeted.join(over_hosts, "host", "left_anti").drop(
-            "level", "bench_until"
-        )
-        budgeted = budgeted.join(over_hosts, "host", "left_semi")
+        persisted.append(over_hosts)
+        # one cheap job over cached per-host aggregates; when NO host is
+        # over budget (steady-state refill keeps up, or a draining crawl)
+        # the politeness stage is a pure projection — no split, no window
+        n_over = over_hosts.count()
+        tr.mark("politeness (n_over + cache fills)")
+        if n_over == 0:
+            under_rows = budgeted.drop("level", "bench_until")
+            budgeted = budgeted.limit(0)
+        else:
+            under_rows = budgeted.join(over_hosts, "host", "left_anti").drop(
+                "level", "bench_until"
+            )
+            budgeted = budgeted.join(over_hosts, "host", "left_semi")
         if cfg.politeness_salt:
             # ADAPTIVE SALTED two-phase top-k (kills hot-host window skew):
             # detect hosts past the hot threshold with one partial-agg count,
@@ -869,6 +880,7 @@ class CrawlEngine:
         selected = ordered.filter(F.col("pop_seq") <= cfg.round_capacity).drop(
             "rank_in_tier", "virtual_time"
         )
+        tr.mark("rotation (bucket counts)")
 
         # 5. fetch: corpus + doc-store joins, then the ROUND SPEC v2
         # decision table (fetch_source → failure injection on origin contact
