@@ -49,8 +49,9 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle) distinct pairs.
+def _doc_shingles_raw(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) pairs WITH duplicates (callers dedup on whatever key
+    they shuffle on).
 
     The token array is materialized in its own projection BEFORE the shingle
     window expression: higher-order functions are not common-subexpression-
@@ -65,7 +66,12 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     sh = F.when(F.size("_toks") >= k, windowed).otherwise(
         F.array(F.concat_ws(" ", F.col("_toks")))
     )
-    return toks.select("doc", F.explode(sh).alias("shingle")).distinct()
+    return toks.select("doc", F.explode(sh).alias("shingle"))
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) distinct pairs."""
+    return _doc_shingles_raw(df, id_col, text_col, k).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -145,13 +151,27 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) — only LSH candidates that verify.
     """
     rows = num_hashes // bands
-    # shingle ONCE, cache, reuse for signatures AND the candidate verify —
-    # shingling (split + slice-window + explode + distinct) is the dominant
-    # cost and was previously computed twice per call. The cached frame is
-    # O(corpus shingles); it stays resident until the session drops it
-    # (callers run this as a one-shot query).
-    sh_cached = _doc_shingles(df, id_col, text_col, k).persist()
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, shingles=sh_cached)
+    # shingle ONCE, reduce each shingle to its md5-derived base hash (the
+    # same _h the signature family is built from), and cache THAT — the
+    # signatures aggregate it and the verify joins on it, so the dominant
+    # shingling cost is paid once and the verify shuffle carries 8-byte
+    # keys instead of shingle strings. Distinct-per-doc is preserved (the
+    # base hash is a 60-bit md5 prefix; collisions are negligible and the
+    # exact-Jaccard filter is unaffected in expectation). The cached frame
+    # stays resident until the session drops it (one-shot query callers).
+    # hash BEFORE dedup: the distinct then shuffles (doc, 8-byte hash)
+    # instead of (doc, shingle string) — same set modulo hash collisions
+    sh_cached = (
+        _doc_shingles_raw(df, id_col, text_col, k)
+        .select("doc", minhash_base(F.col("shingle")).alias("_h"))
+        .distinct()
+        .persist()
+    )
+    aggs = [
+        F.min(minhash_member(F.col("_h"), i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh_cached.groupBy("doc").agg(*aggs)
     band_cols = []
     for b in range(bands):
         members = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
@@ -188,8 +208,8 @@ def minhash_lsh_pairs(
     sh = sh_cached
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        cand.join(sh.select(F.col("doc").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("doc").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        cand.join(sh.select(F.col("doc").alias("id_a"), "_h"), "id_a")
+        .join(sh.select(F.col("doc").alias("id_b"), "_h"), ["id_b", "_h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
