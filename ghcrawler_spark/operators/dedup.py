@@ -143,35 +143,69 @@ def minhash_lsh_pairs(
     num_hashes: int = MINHASH_FUNCS,
     bands: int = MINHASH_BANDS,
     threshold: float = 0.5,
+    persisted: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
 
     Banding: num_hashes/bands rows per band; band key = md5 of the
     concatenated row minhashes. Candidates = pairs sharing ≥1 band key.
     Output: (id_a, id_b, jaccard) — only LSH candidates that verify.
+
+    Cache discipline: pass ``persisted`` (a list) to receive the interim
+    cached frame and unpersist it yourself after materializing the result;
+    with ``persisted=None`` the result is eagerly materialized (it is tiny —
+    verified near-dup pairs) and the cache is released before returning.
+
+    Plan shape (SHUFFLE-FREE signatures): the per-doc shingle set is built
+    as an ARRAY column with higher-order functions — tokens → windowed
+    shingles → md5-derived base hash → array_distinct — and the k family
+    members are array_min over affine transforms of that one array. That is
+    a map-only projection over the corpus scan: no explode, no distinct
+    exchange, no groupBy — the classic explode+groupBy MinHash pays two
+    full-corpus shuffles for the same numbers. Only the (tiny) banded
+    signature rows ever shuffle (the LSH bucket self-join). Verification is
+    array_intersect over the two cached shingle-hash arrays of each
+    CANDIDATE pair — candidates reach the arrays through broadcast joins
+    (cand is bounded by LSH selectivity), so the corpus is never exchanged:
+    the whole query's shuffle volume is O(docs × bands) band keys.
     """
     rows = num_hashes // bands
-    # shingle ONCE, reduce each shingle to its md5-derived base hash (the
-    # same _h the signature family is built from), and cache THAT — the
-    # signatures aggregate it and the verify joins on it, so the dominant
-    # shingling cost is paid once and the verify shuffle carries 8-byte
-    # keys instead of shingle strings. Distinct-per-doc is preserved (the
-    # base hash is a 60-bit md5 prefix; collisions are negligible and the
-    # exact-Jaccard filter is unaffected in expectation). The cached frame
-    # stays resident until the session drops it (one-shot query callers).
-    # hash BEFORE dedup: the distinct then shuffles (doc, 8-byte hash)
-    # instead of (doc, shingle string) — same set modulo hash collisions
-    sh_cached = (
-        _doc_shingles_raw(df, id_col, text_col, k)
-        .select("doc", minhash_base(F.col("shingle")).alias("_h"))
-        .distinct()
-        .persist()
+    if threshold <= 0:
+        raise ValueError("minhash_lsh_pairs needs threshold > 0")
+    # token array hoisted into its own projection (higher-order functions
+    # are not CSE'd — inlining tokens() into the slice lambda re-splits the
+    # text once per shingle position, O(len²) per doc)
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("_toks"))
+    sh_strs = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("_toks"))))
+    # distinct 60-bit md5-prefix hashes stand in for the shingle strings
+    # (collisions negligible; the exact-Jaccard filter is unaffected in
+    # expectation — same hash the DuckDB oracle family is built from)
+    # hs likewise hoisted before the family transforms — the 12 array_min
+    # members each re-walk the array; referencing the raw expression would
+    # re-shingle + re-hash the doc once PER MEMBER (not CSE'd)
+    arr = toks.select(
+        "doc",
+        F.array_distinct(F.transform(sh_strs, lambda s: minhash_base(s))).alias(
+            "hs"
+        ),
     )
-    aggs = [
-        F.min(minhash_member(F.col("_h"), i)).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = sh_cached.groupBy("doc").agg(*aggs)
+    sigs = arr.select(
+        "doc",
+        "hs",
+        F.size("hs").alias("n_sh"),
+        *[
+            F.array_min(
+                F.transform(F.col("hs"), lambda h: minhash_member(h, i))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    ).persist()
     band_cols = []
     for b in range(bands):
         members = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
@@ -196,28 +230,29 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
-    # Verify ONLY the LSH candidates: intersection size comes from routing each
-    # candidate pair through its two shingle sets (cand ⋈ shingles(id_a)
-    # ⋈ shingles(id_b) on the shingle), NEVER from the all-pairs shingle
-    # self-join — that full pairs table is exactly the O(n²) blow-up LSH
-    # exists to avoid. Cost is linear in Σ|shingles| over candidate pairs.
-    # Candidates with zero overlapping shingles (pure band-hash collisions)
-    # drop out of the groupBy; with threshold > 0 they'd be filtered anyway.
-    if threshold <= 0:
-        raise ValueError("minhash_lsh_pairs needs threshold > 0")
-    sh = sh_cached
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.join(sh.select(F.col("doc").alias("id_a"), "_h"), "id_a")
-        .join(sh.select(F.col("doc").alias("id_b"), "_h"), ["id_b", "_h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Verify ONLY the LSH candidates, never an all-pairs shingle self-join.
+    # Broadcast direction is always small-side: cand probes the cached sigs
+    # (inner join cuts the corpus to candidate id_a docs), and that small
+    # annotated pair frame is broadcast back against sigs for the id_b
+    # arrays — the big cached frame never exchanges.
+    half = F.broadcast(cand).join(
+        sigs.select(
+            F.col("doc").alias("id_a"),
+            F.col("hs").alias("hs_a"),
+            F.col("n_sh").alias("n_a"),
+        ),
+        "id_a",
     )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+    pairs = F.broadcast(half).join(
+        sigs.select(
+            F.col("doc").alias("id_b"),
+            F.col("hs").alias("hs_b"),
+            F.col("n_sh").alias("n_b"),
+        ),
+        "id_b",
+    )
+    out = (
+        pairs.withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
             F.round(
@@ -229,6 +264,17 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if persisted is not None:
+        # caller discipline (engine pattern): caller materializes the result
+        # and unpersists everything in the list
+        persisted.append(sigs)
+        return out
+    # one-shot callers: materialize the (tiny) verified-pairs result into a
+    # localCheckpoint, then RELEASE the cache — no executor storage outlives
+    # the call beyond the few output rows
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
 
 
 def _free_frame(df: DataFrame) -> None:

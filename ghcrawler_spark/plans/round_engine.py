@@ -145,6 +145,16 @@ class CrawlConfig:
     #   'shard_local' / 'broadcast': force one shape (tests pin them equal).
     bloom_mode: str = "auto"
     bloom_broadcast_max_bytes: int = 64 << 20
+    # amortized-resize sizing: the rebuild grows the SHARD COUNT (not just
+    # per-shard bits) so one shard's filter blob never exceeds this — probe
+    # parallelism and per-task memory both track the key volume (10^10 keys
+    # at 1% FPR ≈ 12 GB of filter → ~188 shards of ≤64 MB, not 16 shards of
+    # 750 MB). The new count lands in the manifest, so resume/replay
+    # re-derives shard assignment deterministically.
+    bloom_shard_max_bytes: int = 64 << 20
+    # test hook: override the max(4096, …) seed-time floor so an overflow →
+    # resize can be forced on a small fixture (None = production floor)
+    bloom_seed_expected_per_shard: int | None = None
     # merge-on-read state: rewrite the frontier/seen bases every K rounds;
     # between compactions a round writes only its own adds/removes deltas
     compact_every: int = 8
@@ -280,9 +290,20 @@ class CrawlEngine:
         """Merge-on-read frontier: base ∪ per-round adds, minus the equality
         deletes (keyed on enqueue_seq — unique per row INCARNATION, so a url
         popped in round r and re-enqueued later is never shadowed by the
-        old remove)."""
-        return self.store.read_merged(
+        old remove). Columns added by engine upgrades (qualifier, v3) are
+        defaulted when a pre-upgrade base/delta lacks them, so resuming an
+        old store works — the row behaves like a fresh root (its URN chain
+        re-anchors at the host, lib/request.js:106-117)."""
+        df = self.store.read_merged(
             self.spark, "frontier", version, bases["frontier"], key_col="enqueue_seq"
+        )
+        if "qualifier" not in df.columns:
+            df = df.withColumn("qualifier", F.lit(None).cast("string"))
+        return df.withColumn(
+            "qualifier",
+            F.coalesce(
+                F.col("qualifier"), root_urn(F.lit("host"), F.col("host"))
+            ),
         )
 
     def _read_seen(self, version: int, bases: dict) -> DataFrame:
@@ -397,22 +418,34 @@ class CrawlEngine:
         excluded_rows|None)."""
         if not files:
             return None, 0, None, None
-        ev = self.spark.read.parquet(
+        # mergeSchema: a staging dir can mix pre-upgrade batches (no
+        # `verified` column) with new ones — a single-footer read would
+        # either drop the column or read legacy rows as null; null-verified
+        # rows would then fail BOTH the ~verified and verified filters and
+        # silently vanish. Merged read + coalesce treats legacy rows as
+        # verified (they predate the signature gate).
+        ev = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.cfg.ingest_dir, f) for f in files]
         )
         have = set(ev.columns)
         ev = ev.select(
             "url",
             "type",
-            (F.col("event_ms") if "event_ms" in have else F.lit(0))
-            .cast("long")
-            .alias("event_ms"),
+            F.coalesce(
+                (F.col("event_ms") if "event_ms" in have else F.lit(0)).cast(
+                    "long"
+                ),
+                F.lit(0),
+            ).alias("event_ms"),
             (F.col("payload_id") if "payload_id" in have else F.lit(None))
             .cast("string")
             .alias("payload_id"),
-            (F.col("verified") if "verified" in have else F.lit(True))
-            .cast("boolean")
-            .alias("verified"),
+            F.coalesce(
+                (F.col("verified") if "verified" in have else F.lit(True)).cast(
+                    "boolean"
+                ),
+                F.lit(True),
+            ).alias("verified"),
         )
 
         def _dead_rows(df: DataFrame, reason: str) -> DataFrame:
@@ -492,10 +525,11 @@ class CrawlEngine:
         list API at 10000 the same way)."""
         return self.current_deadletter().limit(limit).collect()
 
-    def _bloom_shard_local(self, m_bits: int) -> bool:
+    def _bloom_shard_local(self, m_bits: int, num_shards: int | None = None) -> bool:
         """Resolve the probe strategy for a filter of this sizing."""
         if self.cfg.bloom_mode == "auto":
-            total_bytes = self.cfg.bloom_shards * (m_bits // 8)
+            shards = num_shards if num_shards is not None else self.cfg.bloom_shards
+            total_bytes = shards * (m_bits // 8)
             return total_bytes > self.cfg.bloom_broadcast_max_bytes
         return self.cfg.bloom_mode == "shard_local"
 
@@ -525,22 +559,42 @@ class CrawlEngine:
                     k_funcs=info["k_funcs"],
                     capacity_per_shard=info["capacity_per_shard"],
                 )
-                if self._bloom_shard_local(info["m_bits"]):
+                if self._bloom_shard_local(info["m_bits"], info["num_shards"]):
                     return BloomShardTable.from_rows_df(rows_df, **params)
                 return BloomShardSet.from_rows(rows_df.collect(), **params)
             except FileNotFoundError:
                 pass
-        m_est, _ = optimal_params(
-            max(64, 4096 // max(self.cfg.bloom_shards, 1)), self.cfg.bloom_fpr
-        )
+        # legacy (pre-incremental) store: full rebuild from the seen set.
+        # Size from the ACTUAL seen count — a fixed small estimate here would
+        # resolve a multi-GB filter to the broadcast shape and pull every
+        # blob through the driver, the exact failure shard-local mode exists
+        # to avoid. The count is one job on a rare (resume-of-old-store) path.
+        n_seen = seen.count()
+        num_shards = self._bloom_shards_for(n_seen)
+        expected = max(64, n_seen // num_shards + 1)
+        m_est, _ = optimal_params(expected, self.cfg.bloom_fpr)
         cls = (
-            BloomShardTable if self._bloom_shard_local(m_est) else BloomShardSet
+            BloomShardTable
+            if self._bloom_shard_local(m_est, num_shards)
+            else BloomShardSet
         )
         return cls.build(
             seen.select("url_hash"),
-            num_shards=self.cfg.bloom_shards,
+            num_shards=num_shards,
             fpr=self.cfg.bloom_fpr,
+            expected_per_shard=expected,
         )
+
+    def _bloom_shards_for(self, total_keys: int) -> int:
+        """Shard count keeping one shard's filter bytes ≤ bloom_shard_max_bytes
+        at the target FPR (never below cfg.bloom_shards). This is what makes
+        the seen set genuinely 10^10-ready: probe parallelism and per-task
+        blob size both scale with key volume instead of freezing at the
+        seed-time count (the tracker's exactness contract holds at any
+        volume, redisRequestTracker.js:17-53)."""
+        m_total, _ = optimal_params(max(64, total_keys), self.cfg.bloom_fpr)
+        need = -(-(m_total // 8) // max(1, self.cfg.bloom_shard_max_bytes))
+        return max(self.cfg.bloom_shards, int(need))
 
     def _robots_allowed(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Split rows into (allowed, denied) via broadcast semi/anti joins
@@ -647,7 +701,10 @@ class CrawlEngine:
                 ),
             ]
         )
-        expected = max(4096, 2 * n_seeded // max(self.cfg.bloom_shards, 1))
+        if self.cfg.bloom_seed_expected_per_shard is not None:
+            expected = self.cfg.bloom_seed_expected_per_shard
+        else:
+            expected = max(4096, 2 * n_seeded // max(self.cfg.bloom_shards, 1))
         m_seed, _ = optimal_params(expected, self.cfg.bloom_fpr)
         if self._bloom_shard_local(m_seed):
             bloom = BloomShardTable.empty(
@@ -1157,23 +1214,47 @@ class CrawlEngine:
             if bloom_total > 2.0 * bloom.capacity_per_shard * max(
                 1, bloom.num_shards
             ):
-                # amortized resize: full rebuild at 4x capacity (happens
-                # O(log n) times over a crawl, never per round). The probe
-                # strategy is re-resolved for the NEW sizing — a growing
-                # crawl flips broadcast → shard-local here.
-                new_expected = max(64, 4 * bloom.capacity_per_shard)
+                # amortized resize: full rebuild at 4x TOTAL capacity
+                # (happens O(log n) times over a crawl, never per round).
+                # BOTH dimensions scale: the shard count grows so one
+                # shard's blob stays ≤ bloom_shard_max_bytes (probe
+                # parallelism tracks key volume; a cogroup task never holds
+                # a runaway blob), and per-shard bits cover the remainder.
+                # The probe strategy is re-resolved for the NEW sizing — a
+                # growing crawl flips broadcast → shard-local here. The new
+                # shard count lands in the manifest below, so resume/replay
+                # re-derives pmod(key, num_shards) deterministically.
+                total_expected = max(
+                    64, 4 * bloom.capacity_per_shard * max(1, bloom.num_shards)
+                )
+                new_shards = max(
+                    self._bloom_shards_for(total_expected), bloom.num_shards
+                )
+                # optimal_params floors m_bits itself, so the per-shard key
+                # budget may legitimately drop below 64 when the byte cap
+                # forces many small shards
+                new_expected = max(1, total_expected // new_shards)
                 m_new, _ = optimal_params(new_expected, cfg.bloom_fpr)
                 cls = (
                     BloomShardTable
-                    if self._bloom_shard_local(m_new)
+                    if self._bloom_shard_local(m_new, new_shards)
                     else BloomShardSet
                 )
+                # DISTINCT keys: the seen log re-appends always-recrawled
+                # urls; deduping here both trims the build and makes the
+                # post-rebuild total_keys reset exact
                 bloom = cls.build(
-                    seen_next.select("url_hash"),
-                    num_shards=cfg.bloom_shards,
+                    seen_next.select("url_hash").distinct(),
+                    num_shards=new_shards,
                     fpr=cfg.bloom_fpr,
                     expected_per_shard=new_expected,
                 )
+                # reset the running insert counter from the rebuilt filters
+                # (sum of per-shard inserts == distinct seen keys): the
+                # pre-reset sum counts re-crawls, so carrying it forward
+                # would re-trigger full rebuilds every few rounds on
+                # recrawl-heavy (freshness 'always') crawls
+                bloom_total = bloom.total_keys()
         # revisit rule (ROUND SPEC v2 step 7): freshness 'always' children
         # bypass the seen-set dedup (the page may have changed; history above
         # already bounds cycles) — everything else defers to the dedup cache

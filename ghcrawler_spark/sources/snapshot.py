@@ -125,10 +125,17 @@ class SnapshotStore:
         name: str,
         upto_version: int | None = None,
         from_version: int = 0,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Union of all committed deltas in [from_version, upto_version]
         (≤ manifest round unless told otherwise). Globbing would include
-        orphans — enumerate explicitly."""
+        orphans — enumerate explicitly.
+
+        ``merge_schema=True`` unions the delta footers' schemas (absent
+        columns read as null) — required when a table gained columns across
+        an engine upgrade and pre-upgrade delta dirs are still live; the
+        default single-footer read could otherwise silently DROP the new
+        column for every delta in the range."""
         if upto_version is None:
             upto_version = self.current_version()
             if upto_version is None:
@@ -140,7 +147,10 @@ class SnapshotStore:
         ]
         if not paths:
             raise FileNotFoundError(f"no committed deltas for {name}")
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     # -- merge-on-read tables ---------------------------------------------------
     #
@@ -212,13 +222,20 @@ class SnapshotStore:
         key_col: str | None = None,
     ) -> DataFrame:
         """base(base_version) ∪ adds in (base_version, version], minus
-        removes in the same range when ``key_col`` is given."""
+        removes in the same range when ``key_col`` is given. Schema drift
+        across engine upgrades is tolerated: adds dirs are read with merged
+        schemas and the union fills columns either side lacks with null —
+        the reader defaults them (see CrawlEngine._read_frontier)."""
         out = self.read(spark, name, base_version)
         try:
             adds = self.read_appends(
-                spark, f"{name}_adds", version, from_version=base_version + 1
+                spark,
+                f"{name}_adds",
+                version,
+                from_version=base_version + 1,
+                merge_schema=True,
             )
-            out = out.unionByName(adds)
+            out = out.unionByName(adds, allowMissingColumns=True)
         except FileNotFoundError:
             pass
         if key_col is not None:

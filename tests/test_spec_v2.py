@@ -55,7 +55,8 @@ def _build(spark, tmp_path, corpus, links, seeds, cfg_kw):
         if k not in ("use_bloom", "bloom_shards", "bloom_fpr", "compact_every",
                      "validate_images", "ingest_dir", "politeness_salt",
                      "politeness_hot_threshold", "bloom_mode",
-                     "bloom_broadcast_max_bytes")
+                     "bloom_broadcast_max_bytes", "bloom_shard_max_bytes",
+                     "bloom_seed_expected_per_shard")
     }))
     return eng, store, sim, seeds_df
 
