@@ -26,6 +26,7 @@ from ghcrawler_spark.functions import vectors as V
 from ghcrawler_spark.hashing import stable_long_hash, stable_long_hash_sql
 from ghcrawler_spark.operators import dedup as D
 from ghcrawler_spark.operators import frontier_ops as FO
+from ghcrawler_spark.plans import policy as P
 from ghcrawler_spark.operators import similarity as S
 
 # ---------------------------------------------------------------------------
@@ -1350,6 +1351,216 @@ def t3_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.filter(
         (F.col("quality") >= 0.3) & F.col("tok_ws").between(5, 1000)
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# F12 — policy-spec string resolution (traversalPolicy.js:90-148)
+# ---------------------------------------------------------------------------
+
+_SPEC_EXPR_SQL = """
+  (CASE (doc_id % 6) WHEN 0 THEN 'default' WHEN 1 THEN 'reprocess'
+        WHEN 2 THEN 'always' WHEN 3 THEN 'reload' WHEN 4 THEN 'nonsense'
+        ELSE 'reprocessAndUpdate' END)
+  || (CASE (doc_id % 4) WHEN 0 THEN '' WHEN 1 THEN ':crawl'
+        WHEN 2 THEN ':relationOnly/crawl@/teams' ELSE ':initialize/repo@' END)
+"""
+
+_POLICY_PAIR_CASES_SQL = " ".join(
+    f"WHEN '{n}' THEN '{fe}|{fr}'" for n, (fe, fr) in P.POLICY_NAMES.items()
+)
+
+@register(
+    "f12_policy_resolve",
+    f"""
+    WITH specs AS (SELECT doc_id, {_SPEC_EXPR_SQL} AS spec FROM documents),
+    s1 AS (
+      SELECT doc_id, spec,
+        CASE WHEN instr(spec, ':') > 0
+             THEN substr(spec, 1, instr(spec, ':') - 1) ELSE spec END AS n0,
+        CASE WHEN instr(spec, ':') > 0
+             THEN substr(spec, instr(spec, ':') + 1) ELSE '' END AS rest
+      FROM specs),
+    s2 AS (
+      SELECT *,
+        CASE WHEN instr(rest, '@') > 0
+             THEN substr(rest, 1, instr(rest, '@') - 1) ELSE rest END AS mspec,
+        CASE WHEN instr(rest, '@') > 0
+             THEN substr(rest, instr(rest, '@') + 1) ELSE '/' END AS p0
+      FROM s1),
+    s3 AS (
+      SELECT *,
+        CASE WHEN instr(mspec, '/') > 0
+             THEN substr(mspec, 1, instr(mspec, '/') - 1) ELSE 'default' END
+          AS sc0,
+        CASE WHEN instr(mspec, '/') > 0
+             THEN substr(mspec, instr(mspec, '/') + 1) ELSE mspec END AS m0
+      FROM s2),
+    s4 AS (
+      SELECT doc_id, spec,
+        CASE (CASE WHEN n0 = '' THEN 'default' ELSE n0 END)
+          {_POLICY_PAIR_CASES_SQL}
+          ELSE '{P.DEFAULT_POLICY_PAIR[0]}|{P.DEFAULT_POLICY_PAIR[1]}' END
+          AS pair,
+        CASE WHEN sc0 = '' THEN 'default' ELSE sc0 END AS scenario,
+        CASE WHEN m0 = '' THEN 'default' ELSE m0 END AS map_name,
+        CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path
+      FROM s3)
+    SELECT doc_id, spec,
+           split_part(pair, '|', 1) AS fetch,
+           split_part(pair, '|', 2) AS freshness,
+           scenario, map_name, path
+    FROM s4
+    """,
+)
+def f12_policy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-spec resolution table (traversalPolicy.js:90-148): a
+    deterministic sample of the full spec grammar
+    "<policyName>[:<[scenario/]mapName[@path]>]" resolved row-level by the
+    pure-Column twin the engine seeds with (plans/policy.resolve_policy_cols)
+    — named policy → (fetch, freshness), scenario cut, map path. The DuckDB
+    oracle re-implements the grammar in SQL; tests additionally pin the
+    Column twin == PolicySpec.parse."""
+    docs = _t(spark, sf_dir, "documents")
+    name = (
+        F.when(F.pmod("doc_id", F.lit(6)) == 0, "default")
+        .when(F.pmod("doc_id", F.lit(6)) == 1, "reprocess")
+        .when(F.pmod("doc_id", F.lit(6)) == 2, "always")
+        .when(F.pmod("doc_id", F.lit(6)) == 3, "reload")
+        .when(F.pmod("doc_id", F.lit(6)) == 4, "nonsense")
+        .otherwise("reprocessAndUpdate")
+    )
+    suffix = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, "")
+        .when(F.pmod("doc_id", F.lit(4)) == 1, ":crawl")
+        .when(F.pmod("doc_id", F.lit(4)) == 2, ":relationOnly/crawl@/teams")
+        .otherwise(":initialize/repo@")
+    )
+    specs = docs.select(
+        "doc_id", F.concat(name, suffix).alias("spec")
+    )
+    r = P.resolve_policy_cols(F.col("spec"))
+    return specs.select(
+        "doc_id",
+        "spec",
+        r["fetch"].alias("fetch"),
+        r["freshness"].alias("freshness"),
+        r["scenario"].alias("scenario"),
+        r["map_name"].alias("map_name"),
+        r["path"].alias("path"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# F7 — event timeline visibility (githubProcessor.js:460-478)
+# ---------------------------------------------------------------------------
+
+# the graft's visibility table over the synthetic event types — same SHAPE
+# as the reference's: one blanket-invisible type ('error' ~ status/label),
+# action-restricted types ('view'/'click' ~ issues/pull_request), the rest
+# always visible
+F7_VISIBILITY = {"view": ["opened", "closed"], "click": ["opened"], "error": []}
+
+@register(
+    "f7_event_visibility",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CASE (event_id % 3) WHEN 0 THEN 'opened' WHEN 1 THEN 'closed'
+                  ELSE 'deleted' END AS action
+      FROM events)
+    SELECT event_id, event_type, action
+    FROM ev
+    WHERE CASE event_type
+            WHEN 'view' THEN action IN ('opened', 'closed')
+            WHEN 'click' THEN action IN ('opened')
+            WHEN 'error' THEN FALSE
+            ELSE TRUE END
+    """,
+)
+def f7_event_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — the dedicated event-visibility predicate
+    (githubProcessor.js:460-478 _isEventVisibleInTimeline), run by the SAME
+    Column the engine's ingest gate uses (plans/policy.event_visible_col):
+    deterministic (type, action) pairs over the events table, keep only
+    timeline-visible rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.pmod("event_id", F.lit(3)) == 0, "opened")
+        .when(F.pmod("event_id", F.lit(3)) == 1, "closed")
+        .otherwise("deleted")
+        .alias("action"),
+    )
+    return ev.filter(
+        P.event_visible_col(F.col("event_type"), F.col("action"), F7_VISIBILITY)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11 — typed links on stored docs (lib/request.js:119-140)
+# ---------------------------------------------------------------------------
+
+_F11_GUID_SQL = stable_long_hash_sql("urn || '|annotations'")
+
+@register(
+    "f11_links_by_type",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             'urn:src:' || source || ':doc:' || CAST(doc_id AS VARCHAR) AS urn,
+             'urn:src:' || source AS parent_urn
+      FROM documents)
+    SELECT doc_id, 'self' AS link_name, urn AS href, 'resource' AS link_type
+    FROM d
+    UNION ALL
+    SELECT doc_id, 'siblings', parent_urn || ':docs', 'collection' FROM d
+    UNION ALL
+    SELECT doc_id, 'annotations',
+           urn || ':annotations:pages:' || CAST({_F11_GUID_SQL} AS VARCHAR),
+           'relation'
+    FROM d
+    UNION ALL
+    SELECT doc_id, 'variants', urn || ':variants', 'collection' FROM d
+    """,
+)
+def f11_links_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — the stored doc's typed `_metadata.links` envelope
+    (lib/request.js:119-140: resource/collection/relation hrefs; relation
+    pages branded with a deterministic state guid,
+    githubProcessor.js:1005-1020), built by the SAME Column the engine
+    persists docs with (plans/policy.doc_links_col) and exploded to one row
+    per link for the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("urn:src:"), F.col("source"), F.lit(":doc:"),
+            F.col("doc_id").cast("string"),
+        ).alias("urn"),
+        F.concat(F.lit("urn:src:"), F.col("source")).alias("parent_urn"),
+    )
+    maps = {
+        "default": {
+            "doc": {
+                "annotations": ("page", "relation"),
+                "variants": ("image", "collection"),
+            }
+        }
+    }
+    links = P.doc_links_col(
+        F.col("urn"), F.col("parent_urn"), F.lit("doc"), F.lit("default"), maps
+    )
+    return (
+        base.select("doc_id", F.explode(links).alias("l"))
+        .select(
+            "doc_id",
+            F.col("l.name").alias("link_name"),
+            F.col("l.href").alias("href"),
+            F.col("l.type").alias("link_type"),
+        )
     )
 
 

@@ -70,7 +70,15 @@ from ghcrawler_spark.operators.seen import (
     filter_unseen,
     optimal_params,
 )
-from ghcrawler_spark.plans.policy import fetch_source, next_map_path, should_process
+from ghcrawler_spark.plans.policy import (
+    doc_links_col,
+    event_visible_col,
+    fetch_source,
+    next_map_path,
+    resolve_policy_cols,
+    scenario_maps_df,
+    should_process,
+)
 from ghcrawler_spark.simulator import EVENT_POLICY
 from ghcrawler_spark.sources.snapshot import SnapshotStore
 
@@ -78,7 +86,7 @@ FRONTIER_SCHEMA = (
     "url string, type string, tier string, host string, enqueue_seq long, "
     "attempt int, policy_fetch string, policy_freshness string, "
     "map_path string, history array<string>, payload_id string, "
-    "qualifier string"
+    "qualifier string, map_name string"
 )
 SEEN_SCHEMA = "url string, url_hash long"
 ORDER_LOG_SCHEMA = (
@@ -91,7 +99,8 @@ HOST_STATE_SCHEMA = "host string, level long, bench_until long"
 HOST_STATE_DELTA_SCHEMA = "host string, level long, bench_until long, round int"
 DOCS_SCHEMA = (
     "image_id string, url string, round int, version int, psnr_db double, "
-    "valid boolean, urn string, parent_urn string"
+    "valid boolean, urn string, parent_urn string, "
+    "links array<struct<name:string,href:string,type:string>>"
 )
 # compacted doc-store point-lookup base (url -> latest stored round/version);
 # the docs table itself stays an append-only change log (audit surface)
@@ -102,11 +111,11 @@ DEADLETTER_SCHEMA = (
 EXCLUDED_SCHEMA = "url string, round int"
 METRICS_SCHEMA = (
     "round int, selected long, children long, requeued long, deadlettered long, "
-    "frontier_after long, ingested long"
+    "frontier_after long, ingested long, attenuated long, deferred long"
 )
 LINEAGE_SCHEMA = (
     "round int, tier string, host_bucket int, n_popped long, n_processed long, "
-    "n_traversed long, n_requeued long, n_missing long"
+    "n_traversed long, n_requeued long, n_missing long, n_deferred long"
 )
 LINEAGE_BUCKETS = 32
 
@@ -124,9 +133,23 @@ class CrawlConfig:
     max_attempts: int = 5
     max_rounds: int = 200
     robots_deny: dict = field(default_factory=dict)  # host -> [path prefixes]
-    # visitor map (lib/visitorMap.js analog): {parent_type: {edge: child_type}};
-    # None = traverse every edge in the link table
+    # visitor map (lib/visitorMap.js analog): {parent_type: {edge: child_type
+    # | (child_type, link_type)}}; None = traverse every edge in the link table
     visitor_map: dict | None = None
+    # collection types whose traversal ALSO fans out pages 2..last to the
+    # 'soon' tier (githubProcessor.js:58-79 collection(): pages are loaded
+    # before they change much; None = pagination off)
+    paginate_types: tuple | None = None
+    # F7 event timeline visibility (githubProcessor.js:460-478): event type
+    # -> visible actions ([] = never visible; absent = always visible)
+    event_visibility: dict | None = None
+    # NAMED scenario maps (visitorMap.js:366-390 mapList — `initialize` /
+    # `default` / `relationOnly` cut the graph differently): {scenario:
+    # visitor_map}. A frontier row's `map_name` (resolved from its policy
+    # spec, traversalPolicy.js:97-106) selects which cut governs its
+    # traversal; unknown scenarios traverse nothing. Takes precedence over
+    # the flat visitor_map (which becomes scenario 'default').
+    scenario_maps: dict | None = None
     inject_failures: bool = True
     validate_images: bool = False  # decode+PSNR audit columns on docs
     use_bloom: bool = True
@@ -297,14 +320,15 @@ class CrawlEngine:
         df = self.store.read_merged(
             self.spark, "frontier", version, bases["frontier"], key_col="enqueue_seq"
         )
-        if "qualifier" not in df.columns:
-            df = df.withColumn("qualifier", F.lit(None).cast("string"))
+        for c in ("qualifier", "map_name"):
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("string"))
         return df.withColumn(
             "qualifier",
             F.coalesce(
                 F.col("qualifier"), root_urn(F.lit("host"), F.col("host"))
             ),
-        )
+        ).withColumn("map_name", F.coalesce(F.col("map_name"), F.lit("default")))
 
     def _read_seen(self, version: int, bases: dict) -> DataFrame:
         base_v = bases.get("seen")
@@ -335,7 +359,8 @@ class CrawlEngine:
             rows = self.store.read(self.spark, "stored", base_v)
             try:
                 deltas = self.store.read_appends(
-                    self.spark, "docs", version, from_version=base_v + 1
+                    self.spark, "docs", version, from_version=base_v + 1,
+                    merge_schema=True,
                 )
                 rows = rows.unionByName(deltas.select("url", "round", "version"))
             except FileNotFoundError:
@@ -431,6 +456,9 @@ class CrawlEngine:
         ev = ev.select(
             "url",
             "type",
+            (F.col("action") if "action" in have else F.lit(None))
+            .cast("string")
+            .alias("action"),
             F.coalesce(
                 (F.col("event_ms") if "event_ms" in have else F.lit(0)).cast(
                     "long"
@@ -465,6 +493,16 @@ class CrawlEngine:
         bad = ev.filter(_malformed_cond())
         ev_dead = ev_dead.unionByName(_dead_rows(bad, "malformed"))
         ok = ev.filter(~_malformed_cond())
+        if self.cfg.event_visibility is not None:
+            # F7 (githubProcessor.js:460-478): timeline-invisible events are
+            # simply not queued — dropped BEFORE the first-wins dedup so an
+            # invisible event can never mask a visible one for the same url
+            ok = ok.filter(
+                event_visible_col(
+                    F.col("type"), F.col("action"), self.cfg.event_visibility
+                )
+            )
+        ok = ok.drop("action")
         w = Window.partitionBy("url").orderBy("event_ms", "type")
         first = (
             ok.withColumn("_rn", F.row_number().over(w))
@@ -491,6 +529,7 @@ class CrawlEngine:
                 F.array().cast("array<string>").alias("history"),
                 "payload_id",
                 root_urn(F.lit("host"), F.col("host")).alias("qualifier"),
+                F.lit("default").alias("map_name"),
             )
             .persist()
         )
@@ -618,14 +657,27 @@ class CrawlEngine:
         robots-check, assign enqueue_seq, commit. Missing policy columns get
         the reference's default policy (originStorage:match@/)."""
         have = set(seeds.columns)
+        # optional policy SPEC strings (traversalPolicy.js:97-106): a
+        # `policy` column like "reprocess:relationOnly/crawl@/teams"
+        # resolves ROW-LEVEL (seed lists are data — codegen'd string split,
+        # never a driver loop) to (fetch, freshness, scenario, path).
+        # Precedence: explicit column > spec-resolved > graft default.
+        spec = resolve_policy_cols("policy") if "policy" in have else None
         defaults = {
-            "policy_fetch": F.lit("originStorage"),
-            "policy_freshness": F.lit("match"),
-            "map_path": F.lit("/"),
+            "policy_fetch": ("fetch", F.lit("originStorage")),
+            "policy_freshness": ("freshness", F.lit("match")),
+            "map_path": ("path", F.lit("/")),
+            "map_name": ("scenario", F.lit("default")),
         }
-        policy_cols = [
-            (F.col(c) if c in have else d).alias(c) for c, d in defaults.items()
-        ]
+        policy_cols = []
+        for c, (field_, d) in defaults.items():
+            parts = []
+            if c in have:
+                parts.append(F.col(c))
+            if spec is not None:
+                parts.append(spec[field_])
+            parts.append(d)
+            policy_cols.append(F.coalesce(*parts).alias(c))
         rows = seeds.select(
             "url", "type", "tier", *policy_cols
         )
@@ -639,6 +691,7 @@ class CrawlEngine:
             "policy_fetch",
             "policy_freshness",
             "map_path",
+            "map_name",
         )
         allowed, denied = self._robots_allowed(base)
         # enqueue_seq = rank by url — via the range-partitioned distributed
@@ -662,6 +715,7 @@ class CrawlEngine:
             # root rows anchor the URN chain at the host entity
             # (lib/request.js:106-117)
             root_urn(F.lit("host"), F.col("host")).alias("qualifier"),
+            "map_name",
         )
         n_seeded = frontier.count()
         # v0 holds the BASE tables of the merge-on-read model; rounds write
@@ -839,18 +893,38 @@ class CrawlEngine:
             .filter(F.col("bench_until") < rnd)
             .withColumn("_cost", cost_col.cast("long"))
         )
-        over_hosts = (
-            levels.join(host_counts.select("host", "_tot_cost"), "host", "left")
-            .filter(F.coalesce(F.col("_tot_cost"), F.lit(0)) > F.col("level"))
-            .select("host")
-            .persist()
-        )
-        persisted.append(over_hosts)
-        # one cheap job over cached per-host aggregates; when NO host is
-        # over budget (steady-state refill keeps up, or a draining crawl)
-        # the politeness stage is a pure projection — no split, no window
-        n_over = over_hosts.count()
-        tr.mark("politeness (n_over + cache fills)")
+        # ONE fused stats job over the tiny per-host frame yields the
+        # politeness short-circuit (n_over), the deadletter count (n_dead,
+        # previously its own agg) and the Deferred count (eligible rows of
+        # benched hosts, crawler.js:512-515) — three scalars, one collect.
+        host_stats = levels.join(
+            host_counts.select("host", "count", "_tot_cost", "_n_dead"),
+            "host",
+            "left",
+        ).persist()
+        persisted.append(host_stats)
+        srow = host_stats.agg(
+            F.sum(
+                (
+                    F.coalesce(F.col("_tot_cost"), F.lit(0)) > F.col("level")
+                ).cast("long")
+            ).alias("n_over"),
+            F.sum("_n_dead").alias("n_dead"),
+            F.sum(
+                F.when(
+                    F.col("bench_until") >= rnd,
+                    F.coalesce(F.col("count"), F.lit(0))
+                    - F.coalesce(F.col("_n_dead"), F.lit(0)),
+                ).otherwise(F.lit(0))
+            ).alias("n_deferred"),
+        ).first()
+        n_over = int(srow["n_over"] or 0)
+        n_dead = int(srow["n_dead"] or 0)
+        n_deferred = int(srow["n_deferred"] or 0)
+        over_hosts = host_stats.filter(
+            F.coalesce(F.col("_tot_cost"), F.lit(0)) > F.col("level")
+        ).select("host")
+        tr.mark("politeness (fused host stats)")
         if n_over == 0:
             under_rows = budgeted.drop("level", "bench_until")
             budgeted = budgeted.limit(0)
@@ -993,19 +1067,22 @@ class CrawlEngine:
                 F.lit(rnd) - F.col("stored_round"),
             )
         )
-        fetched = (
-            fetched.withColumn("_throttle", throttle)
-            .withColumn(
-                "outcome",
-                F.when(F.col("payload_id").isNotNull(), "Processed")
-                .when(fails, "Requeued")
-                .when(fsrc == "skip", "Skipped")
-                .when(F.col("type") != "image", "Traversed")
-                .when((fsrc == "origin") & F.col("image_id").isNull(), "Missing")
-                .when(process, "Processed")
-                .otherwise("Unchanged"),
-            )
+        # outcome taxonomy (crawler.js:509-519): transient throttle-class
+        # failures log 'Throttled' (markRequeue('Throttled'),
+        # githubFetcher.js:176-192), permanent-fail retries 'Requeued' —
+        # both re-enqueue identically (the requeue-class set below)
+        fetched = fetched.withColumn(
+            "outcome",
+            F.when(F.col("payload_id").isNotNull(), "Processed")
+            .when(fails & throttle, "Throttled")
+            .when(fails, "Requeued")
+            .when(fsrc == "skip", "Skipped")
+            .when(F.col("type") != "image", "Traversed")
+            .when((fsrc == "origin") & F.col("image_id").isNull(), "Missing")
+            .when(process, "Processed")
+            .otherwise("Unchanged"),
         )
+        REQUEUE_CLASS = ("Requeued", "Throttled")
         baseline_prev = manifest.get("cost_baseline")
         if cfg.measured_costs:
             # deterministic observed elapsed (simulator.synthetic_elapsed
@@ -1048,13 +1125,7 @@ class CrawlEngine:
             }
         tr.mark("select+fetch (hist)")
         n_selected = sum(hist.values())
-        n_requeued = hist.get("Requeued", 0)
-        # dead count rides the cached step-1 per-host aggregation (one row
-        # per host) instead of re-scanning the frontier
-        n_dead = int(
-            host_counts.agg(F.sum("_n_dead").alias("d")).first()["d"] or 0
-        )
-        tr.mark("dead count")
+        n_requeued = hist.get("Requeued", 0) + hist.get("Throttled", 0)
 
         # order log (seq = global running pop counter)
         log_rows = fetched.select(
@@ -1069,7 +1140,7 @@ class CrawlEngine:
         )
 
         # 6. seen += non-requeued pops
-        newly_seen = fetched.filter(F.col("outcome") != "Requeued").select(
+        newly_seen = fetched.filter(~F.col("outcome").isin(*REQUEUE_CLASS)).select(
             "url", stable_long_hash(F.col("url")).alias("url_hash")
         )
         seen_next = seen.unionByName(newly_seen)
@@ -1080,6 +1151,21 @@ class CrawlEngine:
             F.col("payload_id"),
             F.col("image_id"),
             F.concat(F.lit("stored:"), F.col("url")),
+        )
+        # typed `_metadata.links` envelope on every stored doc
+        # (lib/request.js:119-140): self/siblings plus the row's map-cut
+        # edges with resource/collection/relation types; relation hrefs
+        # carry the deterministic page-set guid (githubProcessor.js:1005-1020)
+        doc_urn = child_urn(
+            F.col("qualifier"), F.col("type"), stable_long_hash(F.col("url"))
+        )
+        links_col = doc_links_col(
+            doc_urn,
+            F.col("qualifier"),
+            F.col("type"),
+            F.col("map_name"),
+            cfg.scenario_maps
+            or ({"default": cfg.visitor_map} if cfg.visitor_map else None),
         )
         processed = fetched.filter(F.col("outcome") == "Processed")
         if cfg.validate_images:
@@ -1109,11 +1195,9 @@ class CrawlEngine:
                     F.lit(cfg.processor_version).alias("version"),
                     "psnr_db",
                     "valid",
-                    child_urn(
-                        F.col("qualifier"), F.col("type"),
-                        stable_long_hash(F.col("url")),
-                    ).alias("urn"),
+                    doc_urn.alias("urn"),
                     F.col("qualifier").alias("parent_urn"),
+                    links_col.alias("links"),
                 )
             )
         else:
@@ -1124,11 +1208,9 @@ class CrawlEngine:
                 F.lit(cfg.processor_version).alias("version"),
                 F.lit(None).cast("double").alias("psnr_db"),
                 F.lit(None).cast("boolean").alias("valid"),
-                child_urn(
-                    F.col("qualifier"), F.col("type"),
-                    stable_long_hash(F.col("url")),
-                ).alias("urn"),
+                doc_urn.alias("urn"),
                 F.col("qualifier").alias("parent_urn"),
+                links_col.alias("links"),
             )
 
         # 7. children of Traversed pages (all selected-derived frames read
@@ -1152,6 +1234,10 @@ class CrawlEngine:
             child_urn(
                 F.col("qualifier"), F.col("type"), stable_long_hash(F.col("url"))
             ).alias("p_urn"),
+            F.col("map_name").alias("p_map_name"),
+            # pages inherit the parent's OWN context qualifier (a page is an
+            # implementation detail, not a traversal step)
+            F.col("qualifier").alias("p_qualifier"),
         )
         raw_children = parents.join(self.links, "src_url").select(
             "parent_pop",
@@ -1164,6 +1250,9 @@ class CrawlEngine:
             "p_map",
             "p_history",
             "p_urn",
+            "p_map_name",
+            "p_qualifier",
+            F.lit(False).alias("_is_page"),
         )
         # per-traversal hasSeen (U2, lib/request.js:66-74,146-150): an edge
         # whose target key already appears on this path is INVISIBLE — this,
@@ -1171,22 +1260,100 @@ class CrawlEngine:
         raw_children = raw_children.filter(
             ~F.expr("array_contains(p_history, concat(type, '@', url))")
         )
-        if cfg.visitor_map is not None:
-            # only traverse edges the visitor map declares for the parent type
-            # (visitorMap.js:140-390 — unlisted edges are not queued)
-            from ghcrawler_spark.plans.policy import visitor_map_df
-
-            vm = visitor_map_df(self.spark, cfg.visitor_map)
+        if cfg.scenario_maps is not None or cfg.visitor_map is not None:
+            # only traverse edges the row's NAMED map cut declares for the
+            # parent type (visitorMap.js:140-390; named scenario cuts
+            # :366-390 — unlisted edges are not queued, unknown scenarios
+            # traverse nothing)
+            maps = cfg.scenario_maps or {"default": cfg.visitor_map}
+            vm = scenario_maps_df(self.spark, maps).select(
+                F.col("map_name").alias("p_map_name"), "parent_type", "edge"
+            )
             raw_children = raw_children.join(
-                F.broadcast(vm.select("parent_type", "edge")),
-                ["parent_type", "edge"],
+                F.broadcast(vm),
+                ["p_map_name", "parent_type", "edge"],
                 "left_semi",
             )
+        if cfg.paginate_types:
+            # pagination fan-out (githubProcessor.js:58-79): a collection
+            # type's pages 2..last join the SAME child funnel (attenuation,
+            # in-flight/seen dedup, robots, enqueue ordering) as edge
+            # children, as pseudo-edge '_pages' on the 'soon' tier. The
+            # last-page count is the deterministic link-header twin
+            # (simulator.synthetic_last_page); posexplode-of-sequence is the
+            # scale shape — one output row per page, no driver loop.
+            last_col = (
+                F.lit(1)
+                + F.pmod(
+                    stable_long_hash(
+                        F.concat(F.lit("pages:"), F.col("src_url"))
+                    ),
+                    F.lit(4),
+                )
+            ).cast("int")
+            page_rows = (
+                parents.filter(
+                    F.col("parent_type").isin(list(cfg.paginate_types))
+                    # a page never re-paginates — it IS one of the fan-out
+                    # targets (the reference's page() handler, not
+                    # collection(); url carries the page marker)
+                    & ~F.col("src_url").contains("per_page=")
+                )
+                .withColumn("_last", last_col)
+                .filter(F.col("_last") >= 2)
+                .select(
+                    "parent_pop",
+                    "parent_type",
+                    F.lit("_pages").alias("edge"),
+                    F.explode(
+                        F.sequence(F.lit(2), F.col("_last"))
+                    ).alias("_page"),
+                    F.col("src_url"),
+                    "p_fetch",
+                    "p_fresh",
+                    "p_map",
+                    "p_history",
+                    "p_urn",
+                    "p_map_name",
+                    "p_qualifier",
+                )
+                .select(
+                    "parent_pop",
+                    "parent_type",
+                    "edge",
+                    F.concat(
+                        F.col("src_url"),
+                        F.when(F.col("src_url").contains("?"), "&").otherwise("?"),
+                        F.lit("page="),
+                        F.col("_page").cast("string"),
+                        F.lit("&per_page=100"),
+                    ).alias("url"),
+                    F.col("parent_type").alias("type"),
+                    "p_fetch",
+                    "p_fresh",
+                    "p_map",
+                    "p_history",
+                    "p_urn",
+                    "p_map_name",
+                    "p_qualifier",
+                    F.lit(True).alias("_is_page"),
+                )
+                # same per-traversal hasSeen guard as edge children (U2)
+                .filter(
+                    ~F.expr("array_contains(p_history, concat(type, '@', url))")
+                )
+            )
+            raw_children = raw_children.unionByName(page_rows)
         raw_children = raw_children.drop("parent_type")
-        # attenuate: first discovery wins per dst (J4)
+        # attenuate: first discovery wins per dst (J4). The keeper row also
+        # carries how many visible candidate edges it collapsed (_ndup —
+        # same window partitioning, no extra exchange): metrics report the
+        # attenuation drops per round (attenuatedQueue.js:24-52 telemetry)
         w_att = Window.partitionBy("url").orderBy("parent_pop", "edge", "url")
+        w_url = Window.partitionBy("url")
         uniq = (
             raw_children.withColumn("_rn", F.row_number().over(w_att))
+            .withColumn("_ndup", F.count(F.lit(1)).over(w_url))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
@@ -1266,7 +1433,7 @@ class CrawlEngine:
         ).drop("url_hash").unionByName(always_kids)
         fresh = unseen_children.join(
             remaining.select("url").unionByName(
-                fetched.filter(F.col("outcome") == "Requeued").select("url")
+                fetched.filter(F.col("outcome").isin(*REQUEUE_CLASS)).select("url")
             ),
             "url",
             "left_anti",
@@ -1289,21 +1456,31 @@ class CrawlEngine:
         child_rows = fresh_allowed.select(
             "url",
             "type",
-            F.when(F.col("edge") == "images", "soon").otherwise("normal").alias("tier"),
+            F.when(
+                F.col("_is_page") | (F.col("edge") == "images"), "soon"
+            ).otherwise("normal").alias("tier"),
             "host",
             F.lit(0).cast("int").alias("attempt"),
             F.lit(0).alias("_grp"),
             F.col("parent_pop").cast("long").alias("_ord"),
             # children inherit the winning parent's policy; the map path
-            # descends one step (traversalPolicy.js:154-160)
+            # descends one step (traversalPolicy.js:154-160) — EXCEPT page
+            # rows, which keep the parent's own path + qualifier (the page
+            # is the same logical resource)
             F.col("p_fetch").alias("policy_fetch"),
             F.col("p_fresh").alias("policy_freshness"),
-            next_map_path(F.col("p_map"), F.col("edge")).alias("map_path"),
+            F.when(F.col("_is_page"), F.col("p_map"))
+            .otherwise(next_map_path(F.col("p_map"), F.col("edge")))
+            .alias("map_path"),
             F.col("p_history").alias("history"),
             F.lit(None).cast("string").alias("payload_id"),
-            F.col("p_urn").alias("qualifier"),
+            F.when(F.col("_is_page"), F.col("p_qualifier"))
+            .otherwise(F.col("p_urn"))
+            .alias("qualifier"),
+            F.col("p_map_name").alias("map_name"),
+            F.col("_ndup").cast("long").alias("_ndup"),
         )
-        rq_rows = fetched.filter(F.col("outcome") == "Requeued").select(
+        rq_rows = fetched.filter(F.col("outcome").isin(*REQUEUE_CLASS)).select(
             "url",
             "type",
             "tier",
@@ -1317,6 +1494,8 @@ class CrawlEngine:
             "history",
             "payload_id",
             "qualifier",
+            "map_name",
+            F.lit(1).cast("long").alias("_ndup"),
         )
         # enqueue assignment: distributed rank over (_grp, _ord, url) —
         # children before requeues, both FIFO — with NO global Window.orderBy
@@ -1331,15 +1510,25 @@ class CrawlEngine:
         persisted.append(union_rows)
         counts = (
             union_rows.groupBy("_grp", "_ord")
-            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .agg(
+                F.count(F.lit(1)).alias("_cnt"),
+                F.sum(F.col("_ndup") - 1).alias("_att"),
+            )
             .persist()
         )
         persisted.append(counts)
-        grp_totals = {
-            r["_grp"]: r["t"]
-            for r in counts.groupBy("_grp").agg(F.sum("_cnt").alias("t")).collect()
-        }
+        grp_rows = (
+            counts.groupBy("_grp")
+            .agg(F.sum("_cnt").alias("t"), F.sum("_att").alias("att"))
+            .collect()
+        )
+        grp_totals = {r["_grp"]: r["t"] for r in grp_rows}
         n_children = int(grp_totals.get(0, 0))
+        # J4 attenuation drops this round: visible candidate edges collapsed
+        # into kept children (occurrences - 1 per enqueued dst)
+        n_attenuated = int(
+            next((r["att"] for r in grp_rows if r["_grp"] == 0), 0) or 0
+        )
         w_off = (
             Window.partitionBy("_grp")
             .orderBy("_ord")
@@ -1383,6 +1572,7 @@ class CrawlEngine:
             "history",
             "payload_id",
             "qualifier",
+            "map_name",
         )
 
         # 9. bucket spend (compute cost per popped row) + throttle benching.
@@ -1406,7 +1596,7 @@ class CrawlEngine:
             # hosts that took a transient (throttle-class) failure this round
             # are benched until rnd + bench_rounds (githubFetcher.js:176-192)
             thr = (
-                fetched.filter((F.col("outcome") == "Requeued") & F.col("_throttle"))
+                fetched.filter(F.col("outcome") == "Throttled")
                 .select("host")
                 .distinct()
                 .withColumn("_bench", F.lit(rnd + cfg.bench_rounds).cast("long"))
@@ -1427,7 +1617,7 @@ class CrawlEngine:
 
         metrics_new = self.spark.createDataFrame(
             [(rnd, n_selected, n_children, n_requeued, n_dead, n_frontier_after,
-              n_ingested)],
+              n_ingested, n_attenuated, n_deferred)],
             METRICS_SCHEMA,
         )
 
@@ -1523,7 +1713,7 @@ class CrawlEngine:
                 F.count(F.lit(1)).alias("n_popped"),
                 F.sum((F.col("outcome") == "Processed").cast("long")).alias("n_processed"),
                 F.sum((F.col("outcome") == "Traversed").cast("long")).alias("n_traversed"),
-                F.sum((F.col("outcome") == "Requeued").cast("long")).alias("n_requeued"),
+                F.sum(F.col("outcome").isin(*REQUEUE_CLASS).cast("long")).alias("n_requeued"),
                 F.sum((F.col("outcome") == "Missing").cast("long")).alias("n_missing"),
             )
             .select(
@@ -1535,8 +1725,40 @@ class CrawlEngine:
                 "n_traversed",
                 "n_requeued",
                 "n_missing",
+                F.lit(0).cast("long").alias("n_deferred"),
             )
         )
+        if n_deferred > 0:
+            # Deferred rows (benched-host withhold) never reach `fetched`;
+            # they land in lineage as their own per-partition counts so the
+            # audit trail shows WHICH (tier, host-bucket) sat out the round
+            # (crawler.js:512-515 deferred visibility). Rides the lineage
+            # write job — no extra action.
+            benched = host_stats.filter(F.col("bench_until") >= rnd).select(
+                "host"
+            )
+            deferred_rows = (
+                eligible.join(F.broadcast(benched), "host", "left_semi")
+                .groupBy(
+                    "tier",
+                    F.pmod(F.xxhash64("host"), F.lit(LINEAGE_BUCKETS))
+                    .cast("int")
+                    .alias("host_bucket"),
+                )
+                .agg(F.count(F.lit(1)).alias("n_deferred"))
+                .select(
+                    F.lit(rnd).alias("round"),
+                    "tier",
+                    "host_bucket",
+                    F.lit(0).cast("long").alias("n_popped"),
+                    F.lit(0).cast("long").alias("n_processed"),
+                    F.lit(0).cast("long").alias("n_traversed"),
+                    F.lit(0).cast("long").alias("n_requeued"),
+                    F.lit(0).cast("long").alias("n_missing"),
+                    F.col("n_deferred").cast("long").alias("n_deferred"),
+                )
+            )
+            lineage = lineage.unionByName(deferred_rows)
         writes.append(lambda: self.store.write_append(rnd, "lineage", lineage))
         if hist.get("Processed", 0) > 0:
             writes.append(lambda: self.store.write_append(rnd, "docs", docs_new))
@@ -1673,6 +1895,7 @@ class CrawlEngine:
                 F.array().cast("array<string>").alias("history"),
                 F.lit(None).cast("string").alias("payload_id"),
                 root_urn(F.lit("host"), F.col("host")).alias("qualifier"),
+                F.lit("default").alias("map_name"),
             )
         )
         n_revived = revived.count()

@@ -7,14 +7,40 @@ queue rotation is replaced by seeded integer virtual-time rotation in BOTH
 the simulator and the Spark engine, so order is well-defined and
 parallelism-independent).
 
-=== ROUND SPEC v3 (the contract tests pin engine == simulator on) ===
+=== ROUND SPEC v4 (the contract tests pin engine == simulator on) ===
 
 State: frontier rows (url, type, tier, host, enqueue_seq, attempt,
-policy_fetch, policy_freshness, map_path, history, payload_id, qualifier);
-seen set (urls ever completed); stored docs {url: (round, version)};
-host state (integer token bucket level, bench_until round); order log;
-docs; deadletter; excluded; next_seq counter; pending event batches;
-cost_baseline (measured-cost mode running min).
+policy_fetch, policy_freshness, map_path, history, payload_id, qualifier,
+map_name); seen set (urls ever completed); stored docs {url: (round,
+version)}; host state (integer token bucket level, bench_until round);
+order log; docs; deadletter; excluded; next_seq counter; pending event
+batches; cost_baseline (measured-cost mode running min).
+
+v4 additions over v3 (round 4):
+ - Outcome taxonomy (lib/crawler.js:509-519, request.js markRequeue): a
+   TRANSIENT (throttle-class) failure now logs outcome ``Throttled``
+   (markRequeue('Throttled'), githubFetcher.js:176-192); ``Requeued`` is
+   reserved for permanent-fail retries. Both re-enqueue identically.
+ - Metrics gain ``attenuated`` (duplicate child edges collapsed by J4 this
+   round, counted over enqueued children: occurrences − 1 per kept dst) and
+   ``deferred`` (eligible rows withheld because their host is benched —
+   the deferred-visibility analog of crawler.js:512-515).
+ - Policy SPEC strings (traversalPolicy.js:90-148): seeds may carry
+   ``policy="<name>[:<[scenario/]map[@path]>]"``; the named policy resolves
+   to (fetch, freshness), the scenario selects a NAMED visitor-map cut
+   (visitorMap.js:366-390 mapList), recorded per row as ``map_name`` and
+   inherited by children. Explicit policy columns always win over the spec.
+ - Typed links on stored docs (lib/request.js:119-140): every doc carries
+   ``links`` = [self(resource), siblings(collection)] + the map cut's
+   declared edges; relation hrefs are branded with the deterministic
+   page-set guid stable_hash(urn|edge) (githubProcessor.js:1005-1020).
+ - Pagination fan-out (githubProcessor.js:58-79): a ``paginate_types`` row
+   that traverses also queues pages 2..synthetic_last_page(url) to 'soon'
+   (pseudo-edge '_pages', same attenuation/dedup funnel); pages keep the
+   parent's own qualifier + map path and never re-paginate.
+ - F7 event visibility (githubProcessor.js:460-478): with
+   ``event_visibility`` set, staged events whose (type, action) is not
+   timeline-visible are dropped before the first-wins dedup.
 
 v3 additions over v2:
  - URN lineage (lib/request.js:106-140): every frontier row carries a
@@ -65,8 +91,8 @@ Round r = 1, 2, ...:
       payload rows → Processed (no fetch, no failure possible)
       deterministic failure injection applies ONLY to origin contact
       (fsrc in {origin, etag}): hash%23==5 permanent, hash%11==3 while
-      attempt<2 transient → outcome Requeued, attempt+1, re-enqueued at
-      the tail                               [retry: crawler.js:150-154]
+      attempt<2 transient → outcome Throttled (permanent: Requeued),
+      attempt+1, re-enqueued at the tail     [retry: crawler.js:150-154]
       fsrc == skip → outcome Skipped (storageOnly and nothing stored)
       pages (not skipped/failed) → Traversed
       images: origin fetch resolves in the corpus (else Missing);
@@ -75,8 +101,8 @@ Round r = 1, 2, ...:
       should_process(freshness) (traversalPolicy.js:170-188) decides
       Processed (doc upserted with (round, processor_version)) vs
       Unchanged (completed, no doc)
- 6. seen += every popped url whose outcome is not Requeued
-    (Processed/Traversed/Missing/Skipped/Unchanged all complete).
+ 6. seen += every popped url whose outcome is not requeue-class
+    (Throttled/Requeued re-enter; everything else completes).
  7. children of Traversed pages: edge 'images' → tier 'soon', 'pages' →
     'normal'; a child edge is INVISIBLE when its key (type@url) appears in
     parent.history + [parent key] (per-traversal hasSeen,
@@ -215,6 +241,17 @@ class SimConfig:
     # PREALLOCATES static costs, but the bucket spend (step 9) charges
     # observed elapsed minus the running-min baseline, refreshed per round
     measured_costs: bool = False
+    # collection types whose traversal fans out pages 2..last to 'soon'
+    # (githubProcessor.js:58-79 collection(); None = no pagination)
+    paginate_types: tuple | None = None
+    # F7 event timeline visibility (githubProcessor.js:460-478): event type
+    # -> visible actions ([] = never visible; absent type = always visible)
+    event_visibility: dict | None = None
+    # NAMED scenario maps (visitorMap.js:366-390 mapList): {scenario:
+    # {parent_type: {edge: child_type | (child_type, link_type)}}}. A row's
+    # map_name selects the cut; rows naming an unknown scenario traverse
+    # nothing. None falls back to the flat visitor_map (scenario 'default').
+    scenario_maps: dict | None = None
 
 
 def webhook_signature(secret: str, url: str, type_: str) -> str:
@@ -222,6 +259,22 @@ def webhook_signature(secret: str, url: str, type_: str) -> str:
     return _hmac.new(
         secret.encode(), f"{url}|{type_}".encode(), hashlib.sha1
     ).hexdigest()
+
+
+PAGINATE_MAX_LAST = 4
+
+
+def synthetic_last_page(url: str) -> int:
+    """Deterministic link-header twin (githubProcessor.js:58-66 parses the
+    response's `link` header for `last.page`; the graft derives it from the
+    url): 1..PAGINATE_MAX_LAST."""
+    return 1 + stable_hash("pages:" + url) % PAGINATE_MAX_LAST
+
+
+def page_url(url: str, page: int) -> str:
+    """Reference page-url form (githubProcessor.js:64-66)."""
+    sep = "&" if "?" in url else "?"
+    return f"{url}{sep}page={page}&per_page=100"
 
 
 def synthetic_elapsed(url: str, static_cost: int) -> int:
@@ -236,6 +289,35 @@ def root_qualifier(url: str) -> str:
     """Seed/event rows anchor the URN chain at the host entity
     (lib/request.js:106-117: a root request's qualifier is its own URN)."""
     return f"urn:host:{host_of(url)}"
+
+
+def _edge_entry(value):
+    """Python twin of plans.policy._edge_entry: value → (child_type, link_type)."""
+    if isinstance(value, (tuple, list)):
+        return str(value[0]), str(value[1])
+    return str(value), "collection"
+
+
+def doc_links(urn: str, parent_urn: str, type_: str, map_name: str,
+              maps: dict | None) -> list[dict]:
+    """Python twin of plans.policy.doc_links_col — the stored doc's typed
+    links envelope (lib/request.js:119-140): self + siblings + the map
+    cut's declared edges; relation hrefs carry the deterministic page-set
+    guid (githubProcessor.js:1005-1020)."""
+    links = [
+        {"name": "self", "href": urn, "type": "resource"},
+        {"name": "siblings", "href": f"{parent_urn}:{type_}s",
+         "type": "collection"},
+    ]
+    if maps:
+        for edge, v in (maps.get(map_name) or {}).get(type_, {}).items():
+            _ctype, ltype = _edge_entry(v)
+            if ltype == "relation":
+                href = f"{urn}:{edge}:pages:{stable_hash(urn + '|' + edge)}"
+            else:
+                href = f"{urn}:{edge}"
+            links.append({"name": edge, "href": href, "type": ltype})
+    return links
 
 
 def row_urn(qualifier: str, type_: str, url: str) -> str:
@@ -260,6 +342,7 @@ class FrontierRow:
     history: tuple = ()
     payload_id: str | None = None
     qualifier: str = ""
+    map_name: str = "default"
 
 
 class ReferenceSimulator:
@@ -310,14 +393,28 @@ class ReferenceSimulator:
                 self.excluded.append({"url": s["url"], "round": 0})
                 continue
             self.next_seq += 1
+            # optional policy SPEC string (traversalPolicy.js:97-106):
+            # "name[:scenario/map@path]" resolves to the named policy's
+            # (fetch, freshness) + scenario cut; explicit columns win
+            if s.get("policy"):
+                from ghcrawler_spark.plans.policy import resolve_policy
+
+                r_fetch, r_fresh, r_scen, _r_map, r_path = resolve_policy(
+                    s["policy"]
+                )
+            else:
+                r_fetch, r_fresh, r_scen, r_path = (
+                    "originStorage", "match", "default", "/",
+                )
             self.frontier.append(
                 FrontierRow(
                     url=s["url"], type=s["type"], tier=s.get("tier", "normal"),
                     host=host_of(s["url"]), enqueue_seq=self.next_seq,
-                    policy_fetch=s.get("policy_fetch", "originStorage"),
-                    policy_freshness=s.get("policy_freshness", "match"),
-                    map_path=s.get("map_path", "/"),
+                    policy_fetch=s.get("policy_fetch") or r_fetch,
+                    policy_freshness=s.get("policy_freshness") or r_fresh,
+                    map_path=s.get("map_path") or r_path,
                     qualifier=root_qualifier(s["url"]),
+                    map_name=s.get("map_name") or r_scen,
                 )
             )
 
@@ -360,6 +457,17 @@ class ReferenceSimulator:
                      "reason": "malformed"}
                 )
                 continue
+            if self.cfg.event_visibility is not None:
+                from ghcrawler_spark.plans.policy import event_visible
+
+                # F7 (githubProcessor.js:460-478): events not visible in
+                # the timeline are simply not queued — dropped BEFORE the
+                # first-wins dedup so an invisible event can never mask a
+                # visible one for the same url
+                if not event_visible(
+                    e["type"], e.get("action"), self.cfg.event_visibility
+                ):
+                    continue
             if e["url"] not in valid:
                 valid[e["url"]] = e  # first occurrence per url wins (J4)
         absorbed = 0
@@ -416,8 +524,10 @@ class ReferenceSimulator:
         for r in sorted(self.frontier, key=lambda x: x.enqueue_seq):
             by_host.setdefault(r.host, []).append(r)
         polite: list[FrontierRow] = []
+        n_deferred = 0
         for h, rows in by_host.items():
             if self.bench_until.get(h, 0) >= self.round:
+                n_deferred += len(rows)  # withheld: host benched (Deferred)
                 continue
             budget = max(self.levels[h], 0)
             spent = 0
@@ -470,9 +580,15 @@ class ReferenceSimulator:
                 and fsrc in ("origin", "etag")
                 and fails_fetch(r.url, r.attempt)
             ):
-                outcome = "Requeued"
+                # taxonomy (crawler.js:509-519): throttle-class transient
+                # failures log 'Throttled' (markRequeue('Throttled'),
+                # githubFetcher.js:176-192); permanent-fail retries stay
+                # 'Requeued'. Both re-enter at the tail identically.
                 if is_transient_fail(r.url, r.attempt):
+                    outcome = "Throttled"
                     throttled_hosts.add(r.host)
+                else:
+                    outcome = "Requeued"
                 r.attempt += 1
                 requeued.append(r)
             elif fsrc == "skip":
@@ -510,13 +626,18 @@ class ReferenceSimulator:
                  "pop_seq": pop_seq, "url": r.url, "type": r.type,
                  "tier": r.tier, "host": r.host, "outcome": outcome}
             )
+        doc_maps = cfg.scenario_maps
+        if doc_maps is None and cfg.visitor_map is not None:
+            doc_maps = {"default": cfg.visitor_map}
         for r, image_id in new_docs:
             self.stored[r.url] = (self.round, cfg.processor_version)
+            urn = row_urn(r.qualifier, r.type, r.url)
             self.docs.append(
                 {"image_id": image_id, "url": r.url, "round": self.round,
                  "version": cfg.processor_version,
-                 "urn": row_urn(r.qualifier, r.type, r.url),
-                 "parent_urn": r.qualifier}
+                 "urn": urn, "parent_urn": r.qualifier,
+                 "links": doc_links(urn, r.qualifier, r.type, r.map_name,
+                                    doc_maps)}
             )
 
         # 9. bucket spend (compute cost per popped row) + benching.
@@ -549,21 +670,46 @@ class ReferenceSimulator:
         # 7. children (requeued rows are still in-flight → count as frontier)
         frontier_urls = {r.url for r in self.frontier} | {r.url for r in requeued}
         best: dict[str, tuple] = {}  # dst_url -> (parent_pop, edge, dst, dst_type, parent)
+        dup_count: dict[str, int] = {}  # dst_url -> visible candidate edges
         for pop_seq, parent in traversed:
             parent_key = f"{parent.type}@{parent.url}"
             blocked = set(parent.history) | {parent_key}
+            vm_maps = cfg.scenario_maps
+            if vm_maps is None and cfg.visitor_map is not None:
+                vm_maps = {"default": cfg.visitor_map}
             for edge, dst, dst_type in self.links.get(parent.url, ()):
-                if cfg.visitor_map is not None and edge not in cfg.visitor_map.get(
-                    parent.type, {}
-                ):
+                if vm_maps is not None and edge not in vm_maps.get(
+                    parent.map_name, {}
+                ).get(parent.type, {}):
                     continue
                 if f"{dst_type}@{dst}" in blocked:
                     continue  # per-traversal hasSeen (U2)
+                dup_count[dst] = dup_count.get(dst, 0) + 1
                 key = (pop_seq, edge, dst)
                 if dst not in best or key < best[dst][:3]:
-                    best[dst] = (pop_seq, edge, dst, dst_type, parent)
+                    best[dst] = (pop_seq, edge, dst, dst_type, parent, False)
+            # pagination fan-out (githubProcessor.js:58-79): a collection
+            # type's pages 2..last queue alongside its element edges — same
+            # attenuation / in-flight / seen / robots funnel, pseudo-edge
+            # '_pages', but the page inherits the SAME context (qualifier +
+            # map path — the page is an implementation detail, not a
+            # traversal step)
+            if (
+                cfg.paginate_types
+                and parent.type in cfg.paginate_types
+                and "per_page=" not in parent.url  # a page never re-paginates
+            ):
+                for i in range(2, synthetic_last_page(parent.url) + 1):
+                    dst = page_url(parent.url, i)
+                    if f"{parent.type}@{dst}" in blocked:
+                        continue
+                    dup_count[dst] = dup_count.get(dst, 0) + 1
+                    key = (pop_seq, "_pages", dst)
+                    if dst not in best or key < best[dst][:3]:
+                        best[dst] = (pop_seq, "_pages", dst, parent.type,
+                                     parent, True)
         children = []
-        for dst, (ppop, edge, _, dst_type, parent) in best.items():
+        for dst, (ppop, edge, _, dst_type, parent, _pg) in best.items():
             if dst in frontier_urls:
                 continue
             if dst in self.seen and parent.policy_freshness != "always":
@@ -575,18 +721,24 @@ class ReferenceSimulator:
         children.sort(key=lambda x: (x[0], x[1]))
         for ppop, dst, edge, dst_type, parent in children:
             self.next_seq += 1
+            is_page = edge == "_pages"
             mp = parent.map_path
-            next_mp = f"/{edge}" if mp == "/" else f"{mp}/{edge}"
+            next_mp = mp if is_page else (f"/{edge}" if mp == "/" else f"{mp}/{edge}")
             self.frontier.append(
                 FrontierRow(
                     url=dst, type=dst_type,
-                    tier="soon" if edge == "images" else "normal",
+                    tier="soon" if is_page or edge == "images" else "normal",
                     host=host_of(dst), enqueue_seq=self.next_seq,
                     policy_fetch=parent.policy_fetch,
                     policy_freshness=parent.policy_freshness,
                     map_path=next_mp,
                     history=tuple(parent.history) + (f"{parent.type}@{parent.url}",),
-                    qualifier=row_urn(parent.qualifier, parent.type, parent.url),
+                    qualifier=(
+                        parent.qualifier
+                        if is_page
+                        else row_urn(parent.qualifier, parent.type, parent.url)
+                    ),
+                    map_name=parent.map_name,
                 )
             )
 
@@ -596,11 +748,15 @@ class ReferenceSimulator:
             r.enqueue_seq = self.next_seq
             self.frontier.append(r)
 
+        n_attenuated = sum(
+            dup_count.get(dst, 1) - 1 for _, dst, _, _, _ in children
+        )
         self.metrics.append(
             {"round": self.round, "selected": len(selected),
              "children": len(children), "requeued": len(requeued),
              "deadlettered": len(dead), "frontier_after": len(self.frontier),
-             "ingested": n_ingested}
+             "ingested": n_ingested, "attenuated": n_attenuated,
+             "deferred": n_deferred}
         )
         return True
 

@@ -126,3 +126,46 @@ def test_visitor_map_df(spark):
     rows = {(r["parent_type"], r["edge"]): r["child_type"] for r in vm.collect()}
     assert rows[("page", "images")] == "image"
     assert rows[("page", "pages")] == "page"
+
+
+def test_policy_spec_grammar_twins(spark):
+    """PolicySpec.parse / resolve_policy (Python) == resolve_policy_cols
+    (Column) on the full reference grammar (traversalPolicy.js:90-106)."""
+    from ghcrawler_spark.plans.policy import (
+        PolicySpec,
+        resolve_policy,
+        resolve_policy_cols,
+    )
+
+    specs = [
+        "default",
+        "reprocess",
+        "always:self",
+        "reload:crawl@/pages",
+        "reprocess:relationOnly/crawl@/teams",
+        "event:initialize/repo@/",
+        "nonsense",
+        "reprocessAndUpdate:relationOnly/x@",
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in specs], "spec string")
+    out = {
+        r["spec"]: r["r"].asDict()
+        for r in df.select(
+            "spec", resolve_policy_cols("spec").alias("r")
+        ).collect()
+    }
+    for s in specs:
+        fetch, fresh, scen, mapn, path = resolve_policy(s)
+        got = out[s]
+        assert got["fetch"] == fetch, (s, got)
+        assert got["freshness"] == fresh, (s, got)
+        assert got["scenario"] == scen, (s, got)
+        assert got["map_name"] == mapn, (s, got)
+        assert got["path"] == path, (s, got)
+    # the named-policy table matches the reference's definitions
+    assert PolicySpec.parse("reprocess:relationOnly/crawl@/teams") == PolicySpec(
+        name="reprocess", map_name="crawl", path="/teams", scenario="relationOnly"
+    )
+    assert resolve_policy("reprocess")[:2] == ("storageOnly", "version")
+    assert resolve_policy("always")[:2] == ("originOnly", "always")

@@ -221,9 +221,9 @@ def test_docs_and_host_state_reads_are_bounded(spark, fx, sim_result, tmp_path):
     calls = []
     orig = store.read_appends
 
-    def spy(spark_, name, upto_version=None, from_version=0):
+    def spy(spark_, name, upto_version=None, from_version=0, **kw):
         calls.append((name, from_version, upto_version))
-        return orig(spark_, name, upto_version, from_version)
+        return orig(spark_, name, upto_version, from_version, **kw)
 
     store.read_appends = spy
     eng.run_round()  # round 5: docs exist, bases at round 4

@@ -15,7 +15,7 @@ CORPUS_SCHEMA = "image_id string, url string"
 LINKS_SCHEMA = "src_url string, edge string, dst_url string, dst_type string"
 SEEDS_SCHEMA = (
     "url string, type string, tier string, policy_fetch string, "
-    "policy_freshness string, map_path string"
+    "policy_freshness string, map_path string, policy string"
 )
 
 
@@ -39,9 +39,10 @@ def _build(spark, tmp_path, corpus, links, seeds, cfg_kw):
                 s.get("url"),
                 s.get("type"),
                 s.get("tier", "normal"),
-                s.get("policy_fetch", "originStorage"),
-                s.get("policy_freshness", "match"),
-                s.get("map_path", "/"),
+                s.get("policy_fetch"),
+                s.get("policy_freshness"),
+                s.get("map_path"),
+                s.get("policy"),
             )
             for s in seeds
         ],
@@ -251,7 +252,7 @@ def test_bench_on_throttle(spark, tmp_path):
     # find the throttle round(s); the host must be silent for the bench window
     throttle_rounds = [
         r["round"] for r in eng_log
-        if r["url"] == bad and r["outcome"] == "Requeued"
+        if r["url"] == bad and r["outcome"] == "Throttled"
     ]
     assert throttle_rounds, "fixture must hit the transient failure"
     for tr in throttle_rounds:
@@ -395,3 +396,231 @@ def test_malformed_seeds_deadletter(spark, tmp_path):
     assert eng_dl == sim_dl
     assert eng_dl == {("ftp://bad.test/x", "malformed"), ("", "malformed"),
                       (f"{H}/img/y", "malformed")}
+
+
+def test_outcome_taxonomy_and_metrics_pins(spark, tmp_path):
+    """Round-4 taxonomy (crawler.js:509-519): transient failures log
+    'Throttled' (permanent retries stay 'Requeued'), benched-host withholds
+    are counted as 'deferred', and J4 attenuation drops land in metrics —
+    engine metrics rows == simulator metrics rows, column for column."""
+    bad = _find_transient_url("h1.test")
+    # two parents link the SAME dst → one attenuation drop per round it's
+    # discovered; the transient url exercises Throttled + benching/deferred
+    dup = f"{H}/img/shared"
+    # p0/p1 are verified non-failing (traverse round 1); the transient url
+    # rides as a child so its Throttled pop benches the host mid-crawl
+    links = {
+        f"{H}/p0": [("images", bad, "image"), ("images", dup, "image")],
+        f"{H}/p1": [("images", dup, "image")],
+    }
+    corpus = {bad: "imgBad", dup: "imgShared"}
+    # both seeds traverse in the SAME round, so `dup` is discovered twice in
+    # one batch → exactly one attenuation drop
+    seeds = [{"url": f"{H}/p0", "type": "page"},
+             {"url": f"{H}/p1", "type": "page"}]
+    eng, store, sim, seeds_df = _build(
+        spark, tmp_path, corpus, links, seeds,
+        {"round_capacity": 8, "bucket_capacity": 8, "bucket_fill": 4,
+         "bench_on_throttle": True, "bench_rounds": 2},
+    )
+    _run_both(eng, sim, seeds_df, seeds)
+    eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+    assert eng_log == sim_log
+    assert eng_seen == sim_seen
+    assert any(r["outcome"] == "Throttled" for r in eng_log), eng_log
+    eng_metrics = {
+        r["round"]: r.asDict()
+        for r in store.read_appends(spark, "metrics").collect()
+        if r["round"] > 0
+    }
+    sim_metrics = {m["round"]: m for m in sim.metrics}
+    assert set(eng_metrics) == set(sim_metrics)
+    for rnd, sm in sim_metrics.items():
+        em = eng_metrics[rnd]
+        for k in ("selected", "children", "requeued", "deadlettered",
+                  "frontier_after", "ingested", "attenuated", "deferred"):
+            assert em[k] == sm[k], (rnd, k, em, sm)
+    # the fixture actually exercised both new counters somewhere
+    assert any(m["attenuated"] > 0 for m in sim.metrics), sim.metrics
+    assert any(m["deferred"] > 0 for m in sim.metrics), sim.metrics
+    # lineage deferred counts reconcile with the metrics column per round
+    lin = (
+        store.read_appends(spark, "lineage")
+        .groupBy("round").agg(F.sum("n_deferred").alias("d")).collect()
+    )
+    lin_d = {r["round"]: r["d"] for r in lin}
+    for rnd, sm in sim_metrics.items():
+        assert lin_d.get(rnd, 0) == sm["deferred"], (rnd, lin_d, sm)
+
+
+def test_policy_spec_scenario_maps(spark, tmp_path):
+    """Round-4 spec v4: policy SPEC strings ("name:scenario/map@path",
+    traversalPolicy.js:97-106) resolve end-to-end, and NAMED scenario maps
+    (visitorMap.js:366-390) cut the traversal per row — a relationOnly-style
+    crawl follows ONLY its declared relation edges while a default crawl of
+    the same graph follows the default cut. Engine == simulator exactly."""
+    img = f"{H}/img/x"
+    rel = f"{H}/teams"
+    links = {
+        f"{H}/p0": [("images", img, "image"), ("collaborators", rel, "page")],
+        rel: [("images", f"{H}/img/t", "image")],
+    }
+    corpus = {img: "imgX", f"{H}/img/t": "imgT"}
+    scenario_maps = {
+        "default": {"page": {"pages": "page", "images": "image"}, "image": {}},
+        # the relationOnly cut (visitorMap.js relationOnlyMap): only the
+        # relation edge exists
+        "relationOnly": {"page": {"collaborators": ("page", "relation")}},
+    }
+    for policy, expect_urls, absent_urls in (
+        # default cut: images traversed, the relation edge is NOT declared
+        (None, {img}, {rel}),
+        # reload policy + relationOnly cut: ONLY the relation edge traverses
+        ("reload:relationOnly/crawl@/", {rel}, {img}),
+    ):
+        seeds = [{"url": f"{H}/p0", "type": "page"}]
+        if policy:
+            seeds[0]["policy"] = policy
+        eng, store, sim, seeds_df = _build(
+            spark, tmp_path / (policy or "none").replace("/", "_").replace(":", "_"),
+            corpus, links, seeds,
+            {"round_capacity": 8, "inject_failures": False,
+             "scenario_maps": scenario_maps},
+        )
+        _run_both(eng, sim, seeds_df, seeds)
+        eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+        assert eng_log == sim_log, policy
+        assert eng_seen == sim_seen
+        popped = {r["url"] for r in eng_log}
+        assert expect_urls <= popped, (policy, popped)
+        assert not (absent_urls & popped), (policy, popped)
+
+
+def test_typed_links_on_stored_docs(spark, tmp_path):
+    """Round-4 spec v4: every stored doc carries the typed `_metadata.links`
+    envelope (lib/request.js:119-140) — self (resource), siblings
+    (collection), plus the map cut's declared edges; relation links carry
+    the deterministic page-set guid (githubProcessor.js:1005-1020).
+    Engine docs == simulator docs including the links column."""
+    img = f"{H}/img/x"
+    links = {f"{H}/p0": [("images", img, "image")]}
+    corpus = {img: "imgX"}
+    scenario_maps = {
+        "default": {
+            "page": {"pages": "page", "images": "image"},
+            # contrived: images declare a relation + a collection edge so
+            # the typed-link machinery is exercised on stored docs
+            "image": {"annotations": ("page", "relation"),
+                      "variants": ("image", "collection")},
+        }
+    }
+    seeds = [{"url": f"{H}/p0", "type": "page"}]
+    eng, store, sim, seeds_df = _build(
+        spark, tmp_path, corpus, links, seeds,
+        {"round_capacity": 4, "inject_failures": False,
+         "scenario_maps": scenario_maps},
+    )
+    _run_both(eng, sim, seeds_df, seeds)
+    eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+    assert eng_log == sim_log
+    eng_docs = sorted(
+        (
+            {
+                k: v
+                for k, v in r.asDict(recursive=True).items()
+                if k not in ("psnr_db", "valid")  # J8 audit cols, not in sim
+            }
+            for r in store.read_appends(spark, "docs").collect()
+        ),
+        key=lambda d: (d["round"], d["url"]),
+    )
+    sim_docs = sorted(sim.docs, key=lambda d: (d["round"], d["url"]))
+    assert eng_docs == sim_docs
+    # the relation link is present, typed, and guid-branded
+    doc = next(d for d in eng_docs if d["url"] == img)
+    by_name = {ln["name"]: ln for ln in doc["links"]}
+    assert by_name["self"]["type"] == "resource"
+    assert by_name["siblings"]["type"] == "collection"
+    assert by_name["annotations"]["type"] == "relation"
+    assert ":pages:" in by_name["annotations"]["href"]
+    assert by_name["variants"]["type"] == "collection"
+
+
+def test_pagination_fanout_in_engine(spark, tmp_path):
+    """Round-4 spec v4 (githubProcessor.js:58-79): a collection type's pages
+    2..last enqueue to 'soon' alongside its element edges, with the SAME
+    context (qualifier + map path — a page is an implementation detail).
+    Engine == simulator on the order log; page rows pop early ('soon')."""
+    from ghcrawler_spark.simulator import page_url, synthetic_last_page
+
+    # find a collection url with last_page >= 3 and no injected failure
+    from ghcrawler_spark.simulator import is_permanent_fail, is_transient_fail
+
+    coll = next(
+        u for u in (f"{H}/list{i}" for i in range(50))
+        if synthetic_last_page(u) >= 3
+        and not is_permanent_fail(u) and not is_transient_fail(u, 0)
+    )
+    img = f"{H}/img/x"
+    links = {coll: [("images", img, "image")]}
+    corpus = {img: "imgX"}
+    seeds = [{"url": coll, "type": "collection"}]
+    eng, store, sim, seeds_df = _build(
+        spark, tmp_path, corpus, links, seeds,
+        {"round_capacity": 8, "inject_failures": False,
+         "paginate_types": ("collection",)},
+    )
+    _run_both(eng, sim, seeds_df, seeds)
+    eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+    assert eng_log == sim_log
+    assert eng_seen == sim_seen
+    # pages 2..last were popped on the 'soon' tier with reference url form
+    expected_pages = {
+        page_url(coll, i) for i in range(2, synthetic_last_page(coll) + 1)
+    }
+    popped_pages = {r["url"] for r in eng_log if "page=" in r["url"]}
+    assert popped_pages == expected_pages
+    for r in eng_log:
+        if r["url"] in expected_pages:
+            assert r["tier"] == "soon"
+
+
+def test_event_visibility_predicate(spark, tmp_path):
+    """Round-4 F7 (githubProcessor.js:460-478): timeline-invisible events
+    ((type, action) not in the visibility table) are dropped BEFORE
+    enqueue; visible ones crawl. Engine == simulator."""
+    import os as _os
+
+    ingest = str(tmp_path / "ingest")
+    _os.makedirs(ingest, exist_ok=True)
+    vis = {"issue": ["opened", "closed"], "status": []}
+    events = [
+        {"url": f"{H}/e1", "type": "issue", "action": "opened", "event_ms": 1},
+        {"url": f"{H}/e2", "type": "issue", "action": "deleted", "event_ms": 2},
+        {"url": f"{H}/e3", "type": "status", "action": "created", "event_ms": 3},
+        {"url": f"{H}/e4", "type": "push", "action": None, "event_ms": 4},
+    ]
+    eng, store, sim, seeds_df = _build(
+        spark, tmp_path, {}, {}, [{"url": f"{H}/seed", "type": "page"}],
+        {"round_capacity": 8, "inject_failures": False,
+         "event_visibility": vis, "ingest_dir": ingest},
+    )
+    spark.createDataFrame(
+        [(e["url"], e["type"], e["action"], e["event_ms"]) for e in events],
+        "url string, type string, action string, event_ms long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "batch"))
+    import glob as _glob
+    import shutil as _shutil
+
+    part = _glob.glob(str(tmp_path / "batch" / "part-*.parquet"))[0]
+    _shutil.copy(part, _os.path.join(ingest, "batch1.parquet"))
+    sim.inject_events(events)
+    _run_both(eng, sim, seeds_df, [{"url": f"{H}/seed", "type": "page"}])
+    eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+    assert eng_log == sim_log
+    assert eng_seen == sim_seen
+    popped = {r["url"] for r in eng_log}
+    assert f"{H}/e1" in popped          # visible action
+    assert f"{H}/e4" in popped          # type absent from table → visible
+    assert f"{H}/e2" not in popped      # action not listed
+    assert f"{H}/e3" not in popped      # blanket-invisible type

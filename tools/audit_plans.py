@@ -85,15 +85,29 @@ def main() -> int:
     checks.append(("j1 is a LeftAnti join, no cartesian product",
                    "LeftAnti" in p and "CartesianProduct" not in p, ""))
 
-    # 3c. d3: verify must be candidates-only — the all-pairs shingle
-    # self-join shows up as a join keyed on the shingle ALONE; the fixed plan
-    # only joins shingle together with a doc id (keys [2])
-    p = explain_str(qs["d3_minhash_lsh"](spark, SF))
+    # 3c. d3: the round-4 shape — signatures are a MAP-ONLY projection
+    # (array higher-order functions, no explode/groupBy), so the only hash
+    # exchanges in the whole plan are the LSH band self-join + candidate
+    # distinct; the verify joins are broadcasts. The query wrapper eagerly
+    # checkpoints, so audit the LAZY plan via the persisted-caller API.
+    from ghcrawler_spark.operators import dedup as D
+
+    _docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _pl: list = []
+    p = explain_str(D.minhash_lsh_pairs(_docs, "doc_id", "text", persisted=_pl))
+    for _f in _pl:
+        _f.unpersist()
     plans["d3_minhash_lsh"] = p
     solo_shingle = re.search(r"keys \[1\]: \[shingle#\d+", p)
     checks.append(("d3 has no full pairs-table join (no single-key shingle self-join)",
                    solo_shingle is None,
                    "found a join keyed on shingle alone — that's the all-pairs blow-up"))
+    n_hash_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    checks.append(("d3 signatures are map-only: <=2 hash exchanges in the whole plan",
+                   n_hash_ex <= 2,
+                   f"found {n_hash_ex} hash exchanges — signature build must not shuffle"))
+    checks.append(("d3 verify joins broadcast the candidate side",
+                   "BroadcastHashJoin" in p, "expect BroadcastHashJoin"))
 
     # 3d. n3 multiprobe: probe fan-out must stay an equi-join on the bucket
     # (no cartesian), with the small query side broadcast
