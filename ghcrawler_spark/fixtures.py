@@ -17,7 +17,8 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
-from ghcrawler_spark.functions.images import fake_jpeg_encode, phash64, png_encode
+from ghcrawler_spark.functions.images import phash64, png_encode
+from ghcrawler_spark.functions.jpeg import jpeg_encode
 
 WORDS = (
     "the a of and to in is on for with spark crawl frontier queue host image "
@@ -54,13 +55,15 @@ def make_image(
 
     reference_png is the lossless encoding of the TRUE pixels — the
     validation target for the per-row invariant (decode(payload) vs
-    decode(reference): PSNR=inf for png, ≈48 dB for the lossy stub)."""
+    decode(reference): PSNR=inf for png; for jpeg, REAL baseline-JFIF
+    round-trip error — ≈53 dB at quality 100 on the noise fixture,
+    comfortably above the 40 dB gate)."""
     w = int(rng.choice([16, 32, 64]))
     h = int(rng.choice([16, 32, 64]))
     pixels = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
     ref_png = png_encode(pixels)
     if lossy:
-        blob = fake_jpeg_encode(pixels)
+        blob = jpeg_encode(pixels, quality=100)
         fmt = "jpeg"
     else:
         blob = ref_png

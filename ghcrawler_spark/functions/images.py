@@ -9,11 +9,14 @@ libraries, so:
   8-bit RGB, filter type 0, single IDAT. Deterministic round-trip —
   encode(decode(x)) == x — so the per-row invariant (decoded-pixel equality,
   PSNR=∞) is genuinely testable.
-- **JPEG is stubbed**: ``fmt='jpeg'`` payloads use a clearly-marked
-  deterministic fake codec (`_FAKE_JPEG_MAGIC` header + quantized pixels)
-  whose decode differs from the source pixels by a bounded quantization
-  error — exercising the lossy PSNR≥40dB validation path with real math on
-  fake bytes. Swap in a real codec on a cluster with libjpeg available.
+- **JPEG is real** (round 4): ``fmt='jpeg'`` payloads are genuine baseline
+  JFIF bytes from the pure-numpy codec in ``functions/jpeg.py`` (DCT +
+  Annex-K quant/Huffman tables, 4:4:4) — decode parses real marker
+  structure and the lossy PSNR≥40dB invariant runs on real JPEG math.
+  Non-baseline flavors (progressive, subsampled, 12-bit) raise a precise
+  ValueError — a documented container limitation. The earlier deterministic
+  stub codec (`_FAKE_JPEG_MAGIC`) remains decodable for back-compat with
+  fixtures written by older rounds.
 
 All entry points are vectorized over Arrow batches (one numpy pass per
 batch); nothing is per-row Python in the Spark plan.
@@ -145,7 +148,12 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(bytes(data))
     if fmt == "jpeg":
-        return fake_jpeg_decode(bytes(data))
+        b = bytes(data)
+        if b[:2] == b"\xff\xd8":  # real baseline JFIF
+            from ghcrawler_spark.functions.jpeg import jpeg_decode
+
+            return jpeg_decode(b)
+        return fake_jpeg_decode(b)  # legacy stub container
     raise NotImplementedError(f"unsupported image format: {fmt}")
 
 

@@ -93,3 +93,42 @@ def test_resize_thumbnail_udf(spark):
     for r in thumb.collect():
         px = png_decode(bytes(r["thumb"]))
         assert px.shape == (8, 8, 3)
+
+
+def test_real_jpeg_roundtrip_and_guards():
+    """Round-4: the pure-numpy baseline JFIF codec is REAL — round-trips
+    arbitrary sizes above the 40 dB gate at quality 100, rejects
+    non-baseline flavors with precise errors, and decode_image routes real
+    JFIF bytes to it (legacy stub bytes still decode)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ghcrawler_spark.functions.images import decode_image, psnr
+    from ghcrawler_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(3)
+    for shape in [(16, 16, 3), (24, 40, 3), (33, 57, 3)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        enc = jpeg_encode(px, quality=100)
+        assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+        dec = jpeg_decode(enc)
+        assert dec.shape == px.shape
+        assert psnr(dec, px) >= 40.0
+        # decode_image routes by the SOI signature
+        assert (decode_image(enc, "jpeg") == dec).all()
+    # quality scaling is monotone in error
+    px = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    p75 = psnr(jpeg_decode(jpeg_encode(px, 75)), px)
+    p95 = psnr(jpeg_decode(jpeg_encode(px, 95)), px)
+    assert p75 < p95
+    # guards: truncation and non-baseline markers fail loudly
+    enc = jpeg_encode(px, 90)
+    with _pytest.raises(ValueError):
+        jpeg_decode(enc[: len(enc) // 2])
+    prog = bytearray(enc)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with _pytest.raises(ValueError):
+        jpeg_decode(bytes(prog))
+    with _pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg at all")
