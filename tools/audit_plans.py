@@ -133,6 +133,17 @@ def main() -> int:
     checks.append(("flagship anti-join present (seen-set)",
                    "LeftAnti" in p, ""))
 
+    # 6b. w6 pagination fan-out: pages 2..last materialize as a GENERATE
+    # (explode of sequence) — one output row per page, no join, no driver
+    # loop; the same expression shape the round engine's paginate_types
+    # stage unions into the child funnel (pinned engine==sim by
+    # tests/test_spec_v2.py::test_pagination_fanout_in_engine)
+    p = explain_str(qs["w6_pagination_fanout"](spark, SF))
+    plans["w6_pagination_fanout"] = p
+    checks.append(("w6 pagination is explode(sequence(...)) — a Generate, not a join",
+                   "Generate" in p and "explode(sequence(" in p,
+                   "expect a Generate over explode(sequence(...))"))
+
     # 7. shard-local Bloom probe (the 10^10-key path): candidates COGROUP
     # with exactly their own shard row — no broadcast/driver copy of the
     # whole shard table anywhere in the plan
