@@ -888,8 +888,16 @@ class CrawlEngine:
         # step-1 aggregation and OVERCOUNT (dead rows included) — an
         # over-estimate can only route a host onto the exact window path,
         # never skip a cut.
+        # SLIM SELECTION (r2 audit soft spot): politeness / trait caps /
+        # rotation only need fixed-width keys — carrying the WIDE frontier
+        # rows (history arrays, policy strings, qualifier) through their
+        # exchanges shuffles the whole payload for nothing. Select over the
+        # 5 columns the stages read; the winners re-join their full rows
+        # AFTER selection via a broadcast of the (enqueue_seq, pop_seq)
+        # keys (bounded by round_capacity), so no wide row ever exchanges.
+        sel_input = eligible.select("enqueue_seq", "url", "type", "tier", "host")
         budgeted = (
-            eligible.join(levels, "host")
+            sel_input.join(levels, "host")
             .filter(F.col("bench_until") < rnd)
             .withColumn("_cost", cost_col.cast("long"))
         )
@@ -1008,8 +1016,18 @@ class CrawlEngine:
             bounds=(1, max(1, next_seq)),
             persisted=persisted,
         )
-        selected = ordered.filter(F.col("pop_seq") <= cfg.round_capacity).drop(
-            "rank_in_tier", "virtual_time"
+        selected_keys = ordered.filter(
+            F.col("pop_seq") <= cfg.round_capacity
+        ).select("enqueue_seq", "pop_seq")
+        # winners → full rows: broadcast the key set while it fits (it is
+        # ≤ round_capacity fixed-width pairs), else a plain equi-join — the
+        # same size-adaptive call Catalyst makes
+        if cfg.round_capacity <= 2_000_000:
+            selected_keys = F.broadcast(selected_keys)
+        # _cost re-derived on the full rows (same pure type→cost expression
+        # the politeness budget used; the slim path dropped its copy)
+        selected = frontier.join(selected_keys, "enqueue_seq").withColumn(
+            "_cost", cost_col.cast("long")
         )
         tr.mark("rotation (bucket counts)")
 
