@@ -87,7 +87,7 @@ def main() -> int:
 
     # 3c. d3: the round-4 shape — signatures are a MAP-ONLY projection
     # (array higher-order functions, no explode/groupBy), so the only hash
-    # exchanges in the whole plan are the LSH band self-join + candidate
+    # exchanges in the whole plan are the LSH bucket groupBy + candidate
     # distinct; the verify joins are broadcasts. The query wrapper eagerly
     # checkpoints, so audit the LAZY plan via the persisted-caller API.
     from ghcrawler_spark.operators import dedup as D
