@@ -160,6 +160,51 @@ def main() -> None:
     per_query["engine_rounds_1m"] = round(engine_wall, 3)
     engine_urls_per_sec = round(popped / engine_wall, 1)
 
+    # fetched-images/sec (BASELINE.json metric, image axis): decode + PSNR +
+    # caption validation over the deterministic fixture corpus, replicated
+    # Spark-side (distinct image_ids) so the Arrow-UDF decode runs on ~1.6k
+    # rows without driver-side generation cost. Warm once at 1 copy, then
+    # time the full run via a noop write (count() would let Catalyst prune
+    # the decode column entirely).
+    from ghcrawler_spark import fixtures
+    from ghcrawler_spark.functions.images import validate_against_reference
+
+    fx = fixtures.generate(seed=7, n_hosts=3)
+    corpus, _links, _seeds = fixtures.to_spark(spark, fx)
+
+    def _validated(rep: int):
+        big = (
+            corpus.crossJoin(
+                spark.range(rep).select(F.col("id").alias("_rep"))
+            )
+            .select(
+                F.concat(
+                    "image_id", F.lit("#"), F.col("_rep").cast("string")
+                ).alias("image_id"),
+                "bytes",
+                "fmt",
+                "caption",
+                "ref_bytes",
+            )
+        )
+        fetched = big.select("image_id", "bytes", "fmt", "caption")
+        ref = big.select(
+            "image_id",
+            F.col("ref_bytes").alias("bytes"),
+            F.lit("png").alias("fmt"),
+            "caption",
+        )
+        return validate_against_reference(fetched, ref)
+
+    _validated(1).write.format("noop").mode("overwrite").save()  # warm-up
+    img_rep = 32
+    n_images = corpus.count() * img_rep
+    t0 = time.perf_counter()
+    _validated(img_rep).write.format("noop").mode("overwrite").save()
+    img_wall = time.perf_counter() - t0
+    per_query["v1_image_validate_bulk"] = round(img_wall, 3)
+    images_per_sec = round(n_images / img_wall, 1)
+
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_match.group(1)) if sf_match else -1.0
     out = {
@@ -172,6 +217,8 @@ def main() -> None:
         "frontier_rows_per_sec": fr_per_sec,
         "engine_pops": popped,
         "engine_urls_per_sec": engine_urls_per_sec,
+        "images_validated": n_images,
+        "images_per_sec": images_per_sec,
         "cpus": int(cpus),
     }
     print(json.dumps(out))

@@ -406,16 +406,34 @@ def simhash_pairs(
     candidate join is an equi-join on (band, byte) — no O(n²) cross join.
     Output: (id_a, id_b, hamming).
     """
+    sh = simhash(df, id_col, text_col, bits)
+    return hash_hamming_pairs(sh, "doc", "simhash", bits, bands, max_hamming)
+
+
+def hash_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Pairs with Hamming(hash) ≤ max_hamming over any integer signature
+    column — the banded-pigeonhole core shared by SimHash (text) and pHash
+    (image) near-dup. Split the ``bits``-bit hash into ``bands`` disjoint
+    slices; any pair within distance < bands agrees exactly on ≥1 slice, so
+    candidates come from an equi-join on (band, slice) — fixed-width shuffle
+    keys, never an all-pairs join — and verify is one bit_count(xor) per
+    candidate. Output: (id_a, id_b, hamming:int)."""
     width = bits // bands
     mask = (1 << width) - 1
-    sh = simhash(df, id_col, text_col, bits)
-    banded = sh.select(
-        "doc",
-        "simhash",
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).cast("long").alias("_h"),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
     ).withColumn(
         "slice",
-        F.expr(f"(simhash >> (band * {width})) & {mask}"),
+        F.expr(f"(_h >> (band * {width})) & {mask}"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -424,20 +442,49 @@ def simhash_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.slice") == F.col("b.slice"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a._id") < F.col("b._id")),
         )
         .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
         )
         .distinct()
     )
     return (
         cand.withColumn(
-            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            "hamming",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+PHASH_BITS = 60  # stable_long_hash width; a production pHash is 64-bit
+PHASH_BANDS = 6  # 10-bit slices → any pair with hamming <= 5 shares a band
+PHASH_MAX_HAMMING = 5
+
+
+def phash_neardup(
+    ph: DataFrame,
+    id_col: str = "id",
+    phash_col: str = "phash",
+    bits: int = PHASH_BITS,
+    bands: int = PHASH_BANDS,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Image near-dup on the corpus's perceptual-hash column: (id_a, id_b,
+    hamming) pairs with Hamming(phash) ≤ max_hamming.
+
+    The input is any (id, phash:int64) frame — the BASELINE.json input_hint
+    corpus carries exactly this column (functions/images.phash64 computes it
+    from decoded pixels at fetch time). Near-identical images differ in a
+    few phash bits, so the SimHash banding machinery applies unchanged:
+    at 100 TB the join shuffles only (band, slice, id, phash) rows — 8-byte
+    hash per image, no pixel data — and verify is a single codegen'd
+    bit_count. Reference analog: the tracker dedups URLs by exact key
+    (redisRequestTracker.js:17-53); the image axis generalizes exact
+    identity to perceptual near-identity."""
+    return hash_hamming_pairs(ph, id_col, phash_col, bits, bands, max_hamming)

@@ -1322,6 +1322,57 @@ def v1_image_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
+_PHASH_SQL = stable_long_hash_sql("doc_id")
+
+
+@register(
+    "v2_phash_neardup",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id, {_PHASH_SQL} AS phash FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             xor({_PHASH_SQL},
+                 (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+                 | (CAST(1 AS BIGINT) << CAST((doc_id * 17 + 3) % 60 AS INT)))
+      FROM documents WHERE doc_id < 50
+    ),
+    bands AS (
+      SELECT id, phash, b.band AS band,
+             (phash >> CAST(b.band * 10 AS INT)) & 1023 AS slice
+      FROM base, unnest(generate_series(0, 5)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.slice = b.slice AND a.id < b.id
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 5
+    """,
+)
+def v2_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pHash near-dup (the BASELINE input_hint's phash:int64 column):
+    banded-pigeonhole Hamming pairs, dedup.phash_neardup. The testdata has
+    no image table, so the phash column is synthesized deterministically
+    from doc_id (md5-derived 60-bit value) with a ≤2-bit perturbed twin for
+    the first 50 docs — the operator itself is the one a real corpus's
+    phash column feeds (v1/fixtures compute real phashes via
+    functions/images.phash64; pinned by tests/test_dedup.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        stable_long_hash(F.col("doc_id")).alias("phash"),
+    )
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT)) | "
+        "shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 17 + 3) % 60 AS INT))"
+    )
+    flipped = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("id"),
+        stable_long_hash(F.col("doc_id")).bitwiseXOR(mask).alias("phash"),
+    )
+    return D.phash_neardup(base.unionByName(flipped)).orderBy("id_a", "id_b")
 
 
 @register(

@@ -116,3 +116,55 @@ def test_minhash_lsh_releases_caches(spark):
     # at most the checkpointed result frame itself remains
     assert after - before <= 1
     out._jdf.queryExecution().toRdd().unpersist(False)
+
+
+def test_phash_neardup_matches_bruteforce(spark):
+    """Banding soundness on the image-axis phash operator: every pair within
+    the Hamming radius appears (pigeonhole guarantee at 6 bands / radius 5),
+    and nothing outside the radius survives the verify."""
+    from ghcrawler_spark.operators.dedup import phash_neardup
+
+    rows = [
+        (1, 0b1010110011),
+        (2, 0b1010110010),          # hamming 1 from id 1
+        (3, 0b1010110011 ^ (1 << 40) ^ (1 << 3)),  # hamming 2 from id 1
+        (4, (1 << 59) - 1),         # far from everything
+        (5, 0),                     # hamming ~7 from id 2 -> excluded
+    ]
+    ph = spark.createDataFrame(rows, "id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup(ph).collect()
+    }
+    vals = dict(rows)
+    brute = {}
+    ids = sorted(vals)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(vals[a] ^ vals[b]).count("1")
+            if d <= 5:
+                brute[(a, b)] = d
+    assert got == brute
+    assert (1, 2) in got and got[(1, 2)] == 1
+
+
+def test_phash_neardup_on_real_fixture_phashes(spark):
+    """The operator consumes the corpus's real phash column: duplicate
+    pixel content (fixtures reuse base images across hosts with small noise)
+    must produce at least the exact-duplicate pairs (hamming 0)."""
+    from ghcrawler_spark import fixtures
+    from ghcrawler_spark.operators.dedup import phash_neardup
+
+    fx = fixtures.generate(seed=11, n_hosts=3)
+    corpus, _links, _seeds = fixtures.to_spark(spark, fx)
+    ph = corpus.select(F.col("image_id").alias("id"), "phash")
+    pairs = phash_neardup(ph).collect()
+    vals = {r["id"]: r["phash"] for r in ph.collect()}
+    ids = sorted(vals)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            # phash64 folds into signed int64 — mask before popcount
+            if bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1") <= 5:
+                brute.add((a, b))
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == brute
