@@ -281,8 +281,26 @@ def minhash_lsh_pairs(
         return out
     # one-shot callers: materialize the (tiny) verified-pairs result into a
     # localCheckpoint, then RELEASE the cache — no executor storage outlives
-    # the call beyond the few output rows
-    out = out.localCheckpoint(eager=True)
+    # the call beyond the few output rows.
+    #
+    # The materialization runs with AQE disabled and a small fixed shuffle
+    # width: every shuffle in this plan is KB-scale (band keys + candidate
+    # ids), so AQE's one-scheduled-job-per-query-stage costs more wall time
+    # than its runtime re-planning can ever recover here (measured ~0.6s of
+    # pure job-scheduling latency at sf0.1 — the plan itself is unchanged).
+    # Session conf is restored before returning; at real corpus scale the
+    # caller-managed `persisted` path leaves AQE on (skew/coalesce matter
+    # when the band-bucket shuffle is TBs).
+    spark = df.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     sigs.unpersist()
     return out
 
