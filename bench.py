@@ -160,6 +160,71 @@ def main() -> None:
     per_query["engine_rounds_1m"] = round(engine_wall, 3)
     engine_urls_per_sec = round(popped / engine_wall, 1)
 
+    # capacity-bound engine throughput: the same engine with 4x the frontier
+    # and 4x the round capacity (4M URLs / 40k hosts / 1M-capacity rounds).
+    # The 250k-capacity bench above is dominated by fixed per-job scheduling
+    # latency (~40 stages/round x ~0.3-0.5s on this host); this run shows
+    # the data path's throughput once rounds are large enough to amortize
+    # it — the number that projects to 10^10-URL rounds (see BENCH.md
+    # "Fixed-overhead amortization").
+    n_urls_big, n_hosts_big = 4_000_000, 40_000
+    universe_big = spark.range(0, n_urls_big).select(
+        F.concat(
+            F.lit("http://b"),
+            (F.pmod(F.xxhash64("id"), n_hosts_big)).cast("string"),
+            F.lit(".test/p"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+        F.lit("page").alias("type"),
+        F.when(F.pmod("id", 5) == 0, "soon")
+        .when(F.pmod("id", 5) < 3, "normal")
+        .otherwise("later")
+        .alias("tier"),
+        F.lit("originStorage").alias("policy_fetch"),
+        F.lit("match").alias("policy_freshness"),
+        F.lit("/").alias("map_path"),
+    )
+    links_big = spark.range(0, n_urls_big).select(
+        F.concat(
+            F.lit("http://b"),
+            (F.pmod(F.xxhash64("id"), n_hosts_big)).cast("string"),
+            F.lit(".test/p"),
+            F.col("id").cast("string"),
+        ).alias("src_url"),
+        F.lit("pages").alias("edge"),
+        F.concat(
+            F.lit("http://b"),
+            (F.pmod(F.xxhash64(F.col("id") + 1), n_hosts_big)).cast("string"),
+            F.lit(".test/p"),
+            ((F.col("id") + 1) % n_urls_big).cast("string"),
+        ).alias("dst_url"),
+        F.lit("page").alias("dst_type"),
+    )
+    root_big = tempfile.mkdtemp(prefix="bench_engine_cap_")
+    try:
+        eng_big = CrawlEngine(
+            spark,
+            SnapshotStore(root_big),
+            empty_corpus,
+            links_big,
+            CrawlConfig(
+                round_capacity=1_000_000,
+                bucket_capacity=128,
+                bucket_fill=64,
+                inject_failures=False,
+            ),
+        )
+        eng_big.seed(universe_big)
+        t0 = time.perf_counter()
+        for _ in range(2):
+            eng_big.run_round()
+        cap_wall = time.perf_counter() - t0
+        cap_popped = SnapshotStore(root_big).read_manifest()["total_popped"]
+    finally:
+        shutil.rmtree(root_big, ignore_errors=True)
+    per_query["engine_rounds_capacity_bound"] = round(cap_wall, 3)
+    cap_urls_per_sec = round(cap_popped / cap_wall, 1)
+
     # fetched-images/sec (BASELINE.json metric, image axis): decode + PSNR +
     # caption validation over the deterministic fixture corpus, replicated
     # Spark-side (distinct image_ids) so the Arrow-UDF decode runs on ~1.6k
@@ -217,6 +282,8 @@ def main() -> None:
         "frontier_rows_per_sec": fr_per_sec,
         "engine_pops": popped,
         "engine_urls_per_sec": engine_urls_per_sec,
+        "engine_pops_capacity_bound": cap_popped,
+        "engine_urls_per_sec_capacity_bound": cap_urls_per_sec,
         "images_validated": n_images,
         "images_per_sec": images_per_sec,
         "cpus": int(cpus),

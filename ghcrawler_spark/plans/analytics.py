@@ -231,6 +231,48 @@ def j1_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.join(seen, "event_id", "left_anti").select("event_id", "tier", "host")
 
 
+def _j1_oracle() -> str:
+    """The j1 anti-join oracle, shared verbatim by the cuckoo-probe variant
+    (filter-then-confirm guarantees identical output)."""
+    return f"""
+    WITH frontier AS ({FRONTIER_SQL}),
+    seen AS (
+      SELECT DISTINCT event_id FROM frontier
+      WHERE {stable_long_hash_sql('event_id')} % 5 = 0
+    )
+    SELECT f.event_id, f.tier, f.host FROM frontier f
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.event_id = f.event_id)
+    """
+
+
+@register("j9_cuckoo_unseen", _j1_oracle())
+def j9_cuckoo_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's unseen filter through the CUCKOO seen set (operators/cuckoo.py —
+    the deletable fingerprint-table alternative to Bloom, reference analog
+    redisRequestTracker.js:17-53 incl. untag :47-53): probe-positive rows
+    hit the exact anti-join confirm, so the output is IDENTICAL to the plain
+    anti-join oracle regardless of fingerprint collisions — the same
+    filter-then-confirm contract the Bloom path is pinned by. Shard-local
+    cogroup probe; candidate keys shuffle once on the shard id."""
+    from ghcrawler_spark.operators.cuckoo import CuckooShardTable
+    from ghcrawler_spark.operators.seen import filter_unseen
+
+    fr = _frontier(spark, sf_dir).withColumn(
+        "url_hash", stable_long_hash("event_id")
+    )
+    seen_keys = (
+        fr.filter(F.col("url_hash") % 5 == 0).select("url_hash").distinct()
+    )
+    ck = CuckooShardTable.build(seen_keys, num_shards=8)
+    out = (
+        filter_unseen(fr, seen_keys, ck, key_col="url_hash")
+        .select("event_id", "tier", "host")
+        .localCheckpoint(eager=True)
+    )
+    ck.destroy()
+    return out
+
+
 @register(
     "j2_rehydrate_join",
     """

@@ -70,6 +70,11 @@ from ghcrawler_spark.operators.seen import (
     filter_unseen,
     optimal_params,
 )
+from ghcrawler_spark.operators.cuckoo import (
+    SLOTS as CUCKOO_SLOTS,
+    CuckooShardTable,
+    cuckoo_buckets,
+)
 from ghcrawler_spark.plans.policy import (
     doc_links_col,
     event_visible_col,
@@ -178,6 +183,13 @@ class CrawlConfig:
     # test hook: override the max(4096, …) seed-time floor so an overflow →
     # resize can be forced on a small fixture (None = production floor)
     bloom_seed_expected_per_shard: int | None = None
+    # seen-set structure: 'bloom' (default — OR-mergeable bit filters,
+    # broadcast or shard-local per bloom_mode) or 'cuckoo' (displaceable
+    # 16-bit fingerprint tables, operators/cuckoo.py — supports DELETE, the
+    # reference tracker's untag, redisRequestTracker.js:47-53; always
+    # shard-local). Fixed for the life of a store: the persisted shard
+    # schema differs, so a resumed run keeps the manifest's kind.
+    seen_filter: str = "bloom"
     # merge-on-read state: rewrite the frontier/seen bases every K rounds;
     # between compactions a round writes only its own adds/removes deltas
     compact_every: int = 8
@@ -254,6 +266,14 @@ def _run_writes(writes: list) -> None:
 
 
 def _bloom_manifest(bloom, total_keys: int = 0) -> dict:
+    if isinstance(bloom, CuckooShardTable):
+        return {
+            "kind": "cuckoo",
+            "n_buckets": bloom.n_buckets,
+            "capacity_per_shard": bloom.capacity_per_shard,
+            "num_shards": bloom.num_shards,
+            "total_keys": total_keys,
+        }
     return {
         "m_bits": bloom.m_bits,
         "k_funcs": bloom.k_funcs,
@@ -566,6 +586,8 @@ class CrawlEngine:
 
     def _bloom_shard_local(self, m_bits: int, num_shards: int | None = None) -> bool:
         """Resolve the probe strategy for a filter of this sizing."""
+        if self.cfg.seen_filter == "cuckoo":
+            return True  # fingerprint tables are always executor-resident
         if self.cfg.bloom_mode == "auto":
             shards = num_shards if num_shards is not None else self.cfg.bloom_shards
             total_bytes = shards * (m_bits // 8)
@@ -592,6 +614,13 @@ class CrawlEngine:
                 rows_df = self.store.read_appends(
                     self.spark, "bloom", version, from_version=version
                 )
+                if info.get("kind") == "cuckoo":
+                    return CuckooShardTable.from_rows_df(
+                        rows_df,
+                        num_shards=info["num_shards"],
+                        n_buckets=info["n_buckets"],
+                        capacity_per_shard=info["capacity_per_shard"],
+                    )
                 params = dict(
                     num_shards=info["num_shards"],
                     m_bits=info["m_bits"],
@@ -609,6 +638,13 @@ class CrawlEngine:
         # blob through the driver, the exact failure shard-local mode exists
         # to avoid. The count is one job on a rare (resume-of-old-store) path.
         n_seen = seen.count()
+        if self.cfg.seen_filter == "cuckoo":
+            num_shards = self._cuckoo_shards_for(n_seen)
+            return CuckooShardTable.build(
+                seen.select("url_hash"),
+                num_shards=num_shards,
+                expected_per_shard=max(64, n_seen // num_shards + 1),
+            )
         num_shards = self._bloom_shards_for(n_seen)
         expected = max(64, n_seen // num_shards + 1)
         m_est, _ = optimal_params(expected, self.cfg.bloom_fpr)
@@ -633,6 +669,16 @@ class CrawlEngine:
         volume, redisRequestTracker.js:17-53)."""
         m_total, _ = optimal_params(max(64, total_keys), self.cfg.bloom_fpr)
         need = -(-(m_total // 8) // max(1, self.cfg.bloom_shard_max_bytes))
+        return max(self.cfg.bloom_shards, int(need))
+
+    def _cuckoo_shards_for(self, total_keys: int) -> int:
+        """Cuckoo analog of _bloom_shards_for: one shard's fingerprint table
+        (n_buckets × SLOTS × 2 bytes) stays ≤ bloom_shard_max_bytes, so probe
+        parallelism and per-task bytes track key volume (10^10 keys at 16
+        bits/key ≈ 40 GB of tables → ~640 shards of ≤64 MB)."""
+        nb_total = cuckoo_buckets(max(64, total_keys))
+        total_bytes = nb_total * CUCKOO_SLOTS * 2
+        need = -(-total_bytes // max(1, self.cfg.bloom_shard_max_bytes))
         return max(self.cfg.bloom_shards, int(need))
 
     def _robots_allowed(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -760,7 +806,13 @@ class CrawlEngine:
         else:
             expected = max(4096, 2 * n_seeded // max(self.cfg.bloom_shards, 1))
         m_seed, _ = optimal_params(expected, self.cfg.bloom_fpr)
-        if self._bloom_shard_local(m_seed):
+        if self.cfg.seen_filter == "cuckoo":
+            bloom = CuckooShardTable.empty(
+                self.spark,
+                num_shards=self.cfg.bloom_shards,
+                expected_per_shard=expected,
+            )
+        elif self._bloom_shard_local(m_seed):
             bloom = BloomShardTable.empty(
                 self.spark,
                 num_shards=self.cfg.bloom_shards,
@@ -1396,7 +1448,11 @@ class CrawlEngine:
             # spending an aggregation job per round
             prev_total = (manifest.get("bloom") or {}).get("total_keys", 0)
             bloom_total = prev_total + max(0, n_selected - n_requeued)
-            if bloom_total > 2.0 * bloom.capacity_per_shard * max(
+            # cuckoo fires earlier (1.6x = ~0.8 load): unlike Bloom's
+            # graceful FPR decay, cuckoo INSERTS start failing near full
+            # load, so the resize must land before the table saturates
+            _headroom = 1.6 if isinstance(bloom, CuckooShardTable) else 2.0
+            if bloom_total > _headroom * bloom.capacity_per_shard * max(
                 1, bloom.num_shards
             ):
                 # amortized resize: full rebuild at 4x TOTAL capacity
@@ -1412,34 +1468,46 @@ class CrawlEngine:
                 total_expected = max(
                     64, 4 * bloom.capacity_per_shard * max(1, bloom.num_shards)
                 )
-                new_shards = max(
-                    self._bloom_shards_for(total_expected), bloom.num_shards
-                )
-                # optimal_params floors m_bits itself, so the per-shard key
-                # budget may legitimately drop below 64 when the byte cap
-                # forces many small shards
-                new_expected = max(1, total_expected // new_shards)
-                m_new, _ = optimal_params(new_expected, cfg.bloom_fpr)
-                cls = (
-                    BloomShardTable
-                    if self._bloom_shard_local(m_new, new_shards)
-                    else BloomShardSet
-                )
-                # DISTINCT keys: the seen log re-appends always-recrawled
-                # urls; deduping here both trims the build and makes the
-                # post-rebuild total_keys reset exact
-                bloom = cls.build(
-                    seen_next.select("url_hash").distinct(),
-                    num_shards=new_shards,
-                    fpr=cfg.bloom_fpr,
-                    expected_per_shard=new_expected,
-                )
-                # reset the running insert counter from the rebuilt filters
-                # (sum of per-shard inserts == distinct seen keys): the
-                # pre-reset sum counts re-crawls, so carrying it forward
-                # would re-trigger full rebuilds every few rounds on
-                # recrawl-heavy (freshness 'always') crawls
-                bloom_total = bloom.total_keys()
+                if isinstance(bloom, CuckooShardTable):
+                    new_shards = max(
+                        self._cuckoo_shards_for(total_expected), bloom.num_shards
+                    )
+                    bloom = CuckooShardTable.build(
+                        seen_next.select("url_hash").distinct(),
+                        num_shards=new_shards,
+                        expected_per_shard=max(1, total_expected // new_shards),
+                    )
+                    bloom_total = bloom.total_keys()
+                    tr.mark("cuckoo resize rebuild")
+                else:
+                    new_shards = max(
+                        self._bloom_shards_for(total_expected), bloom.num_shards
+                    )
+                    # optimal_params floors m_bits itself, so the per-shard
+                    # key budget may legitimately drop below 64 when the
+                    # byte cap forces many small shards
+                    new_expected = max(1, total_expected // new_shards)
+                    m_new, _ = optimal_params(new_expected, cfg.bloom_fpr)
+                    cls = (
+                        BloomShardTable
+                        if self._bloom_shard_local(m_new, new_shards)
+                        else BloomShardSet
+                    )
+                    # DISTINCT keys: the seen log re-appends always-recrawled
+                    # urls; deduping here both trims the build and makes the
+                    # post-rebuild total_keys reset exact
+                    bloom = cls.build(
+                        seen_next.select("url_hash").distinct(),
+                        num_shards=new_shards,
+                        fpr=cfg.bloom_fpr,
+                        expected_per_shard=new_expected,
+                    )
+                    # reset the running insert counter from the rebuilt
+                    # filters (sum of per-shard inserts == distinct seen
+                    # keys): the pre-reset sum counts re-crawls, so carrying
+                    # it forward would re-trigger full rebuilds every few
+                    # rounds on recrawl-heavy (freshness 'always') crawls
+                    bloom_total = bloom.total_keys()
         # revisit rule (ROUND SPEC v2 step 7): freshness 'always' children
         # bypass the seen-set dedup (the page may have changed; history above
         # already bounds cycles) — everything else defers to the dedup cache
@@ -1846,7 +1914,19 @@ class CrawlEngine:
         if cfg.use_bloom:
             # cache the new set for next round; free superseded broadcasts
             old = self._bloom
-            if isinstance(bloom, BloomShardTable):
+            if isinstance(bloom, CuckooShardTable):
+                # same lineage truncation as the Bloom table below
+                fresh = CuckooShardTable.from_rows_df(
+                    self.store.read_appends(
+                        self.spark, "bloom", rnd, from_version=rnd
+                    ),
+                    num_shards=bloom.num_shards,
+                    n_buckets=bloom.n_buckets,
+                    capacity_per_shard=bloom.capacity_per_shard,
+                )
+                bloom.destroy()
+                bloom = fresh
+            elif isinstance(bloom, BloomShardTable):
                 # TRUNCATE LINEAGE: re-root the cached table on the parquet
                 # rows this round just persisted — otherwise each round's
                 # merged plan nests the previous round's cogroup (+ its whole

@@ -392,3 +392,65 @@ def test_resume_pre_qualifier_store(spark, fx, sim_result, tmp_path):
     if mf.get("frontier_size", 0) > 0:
         fr = eng2.current_frontier()
         assert fr.filter(F.col("qualifier").isNull()).count() == 0
+
+
+def test_cuckoo_seen_filter_identical(spark, fx, sim_result, tmp_path):
+    """seen_filter='cuckoo' (displaceable-fingerprint tables instead of
+    Bloom bits, operators/cuckoo.py) commits the exact same order log +
+    seen set as the oracle — like every filter strategy, the structure only
+    changes probe selectivity, never output (exact anti-join confirms).
+    Crosses a kill/resume so the manifest 'kind' round-trips too."""
+    root = str(tmp_path / "s")
+    eng, store, seeds = _engine(spark, fx, root, seen_filter="cuckoo")
+    eng.seed(seeds)
+    for _ in range(3):
+        eng.run_round()
+    del eng
+
+    eng2, store2, _ = _engine(spark, fx, root, seen_filter="cuckoo")
+    for _ in range(N_ROUNDS - 3):
+        if not eng2.run_round():
+            break
+    log, seen = _collect_state(spark, store2)
+    assert log == sim_result.order_log
+    assert seen == sim_result.seen
+    assert store2.read_manifest()["bloom"]["kind"] == "cuckoo"
+
+
+def test_cuckoo_resize_grows_shard_count(spark, fx, sim_result, tmp_path):
+    """Cuckoo overflow resize scales the shard count under the per-shard
+    byte cap (same rule as the Bloom rebuild) and crossing it mid-crawl
+    leaves the order log untouched."""
+    from ghcrawler_spark.operators.cuckoo import SLOTS, CuckooShardTable
+
+    eng, store, seeds = _engine(
+        spark, fx, str(tmp_path / "s"),
+        seen_filter="cuckoo",
+        bloom_shards=2,
+        bloom_seed_expected_per_shard=4,   # trigger at ~13 completions
+        bloom_shard_max_bytes=64,          # 64-bucket tables are 512 B
+    )
+    eng.seed(seeds)
+    for _ in range(N_ROUNDS):
+        if not eng.run_round():
+            break
+    log, seen = _collect_state(spark, store)
+    assert log == sim_result.order_log
+    assert seen == sim_result.seen
+    manifest = store.read_manifest()
+    info = manifest["bloom"]
+    assert info["kind"] == "cuckoo"
+    assert info["num_shards"] > 2, info
+    # total_keys was reset from the rebuilt tables at the resize; later
+    # rounds add (upper-bound) batch counts on top — bounded by total pops,
+    # never the inflated pre-resize running sum
+    assert 0 < info["total_keys"] <= len(sim_result.order_log)
+    ck = eng._load_bloom(
+        manifest["current"], manifest,
+        store.read_appends(spark, "seen", manifest["current"]),
+    )
+    assert isinstance(ck, CuckooShardTable)
+    assert ck.num_shards == info["num_shards"]
+    # per-shard table sits at the 64-bucket structural floor (512 B) — the
+    # byte-cap rule scaled the SHARD COUNT instead of growing one table
+    assert ck.n_buckets * SLOTS * 2 == 64 * SLOTS * 2
