@@ -159,6 +159,25 @@ def main() -> int:
                    "expect FlatMapCoGroupsInPandas and no BroadcastExchange"))
     tbl.destroy()
 
+    # 7b. cuckoo probe and merge keep the same discipline: cogroup on the
+    # shard id, no broadcast/driver copy of the fingerprint tables
+    from ghcrawler_spark.operators.cuckoo import CuckooShardTable
+
+    ck = CuckooShardTable.build(seen_keys, num_shards=8)
+    p = explain_str(ck.probe(cand))
+    plans["cuckoo_shard_local_probe"] = p
+    checks.append(("cuckoo probe is a cogroup with no all-shards broadcast",
+                   "FlatMapCoGroupsInPandas" in p and "BroadcastExchange" not in p,
+                   "expect FlatMapCoGroupsInPandas and no BroadcastExchange"))
+    ck_m = ck.merged(cand)
+    p = explain_str(ck_m.shards_df)
+    plans["cuckoo_merge"] = p
+    checks.append(("cuckoo incremental merge is a cogroup (O(batch), no rescan)",
+                   "FlatMapCoGroupsInPandas" in p and "BroadcastExchange" not in p,
+                   "expect FlatMapCoGroupsInPandas and no BroadcastExchange"))
+    ck_m.destroy()
+    ck.destroy()
+
     # 8. trait caps: budgeted traits go through the salted two-phase top-k
     # (pre-cut per (trait, salt) BEFORE the exact single-key trait window),
     # so no one-task window ever sorts the full polite set
