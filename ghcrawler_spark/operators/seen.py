@@ -470,14 +470,37 @@ def filter_unseen(
     bloom: "BloomShardSet | BloomShardTable | None",
     key_col: str = "url_hash",
     persisted: list | None = None,
+    confirm_broadcast: bool | None = None,
+    confirm_broadcast_max: int = 4_000_000,
 ) -> DataFrame:
     """Bloom-pushdown unseen filter: definite-unseen rows pass for free; only
     probe-positives (true dups + ~fpr false positives) hit the exact
-    anti-join. With bloom=None degrades to the plain anti-join. Takes either
-    probe shape (broadcast BloomShardSet or shard-local BloomShardTable)."""
+    confirm. With bloom=None degrades to the plain anti-join. Takes either
+    probe shape (broadcast BloomShardSet or shard-local BloomShardTable).
+
+    The exact confirm never exchanges the seen side: the suspect key set is
+    bounded by the candidate batch (round_capacity x fan-out) while the seen
+    set is unbounded (O(total crawled) — 10^10 keys at the target scale), so
+    shuffling seen for an anti-join would make every round O(history). When
+    the suspect batch is broadcast-safe the confirm is two broadcast joins —
+    seen ⋈semi broadcast(suspect keys) map-side, then suspects ⋉anti
+    broadcast(the tiny truly-seen subset). ``confirm_broadcast``: True/False
+    forces the mode (callers that already know the batch size, e.g. the
+    engine, skip the sizing count); None counts the cached suspects first.
+    """
     if bloom is None or (isinstance(bloom, BloomShardSet) and not bloom.shards):
+        if confirm_broadcast:  # None = no sizing info here → shuffle path
+            hits = (
+                seen_keys.select(key_col)
+                .join(F.broadcast(candidates.select(key_col).distinct()),
+                      on=key_col, how="left_semi")
+                .distinct()
+            )
+            return candidates.join(F.broadcast(hits), on=key_col, how="left_anti")
+        # anti-join semantics ignore right-side duplicates — no distinct
+        # (which would add a full aggregation exchange over the seen set)
         return candidates.join(
-            seen_keys.select(key_col).distinct(), on=key_col, how="left_anti"
+            seen_keys.select(key_col), on=key_col, how="left_anti"
         )
     # persist: both union branches below scan the probe output — without it
     # the candidate pipeline (and the Arrow probe) would execute twice;
@@ -487,7 +510,24 @@ def filter_unseen(
         persisted.append(probed)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed_new = suspects.join(
-        seen_keys.select(key_col).distinct(), on=key_col, how="left_anti"
-    )
+    if confirm_broadcast is None:
+        # one count over the (persisted) probe output; its job doubles as the
+        # cache fill, so downstream branches read blocks, not the pipeline
+        confirm_broadcast = (
+            probed.filter(F.col("maybe_seen")).count() <= confirm_broadcast_max
+        )
+    if confirm_broadcast:
+        hits = (
+            seen_keys.select(key_col)
+            .join(F.broadcast(suspects.select(key_col).distinct()),
+                  on=key_col, how="left_semi")
+            .distinct()
+        )
+        confirmed_new = suspects.join(
+            F.broadcast(hits), on=key_col, how="left_anti"
+        )
+    else:
+        confirmed_new = suspects.join(
+            seen_keys.select(key_col), on=key_col, how="left_anti"
+        )
     return definitely_new.unionByName(confirmed_new)

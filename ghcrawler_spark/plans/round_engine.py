@@ -214,6 +214,12 @@ class CrawlConfig:
     # politeness_salt=0 disables.
     politeness_salt: int = 16
     politeness_hot_threshold: int | None = None
+    # child-dedup broadcast gate: a round's attenuated candidate batch below
+    # this row count confirms seen-set membership AND in-flight membership
+    # via broadcast semi/anti joins (the seen set and the frontier are
+    # unbounded — O(total crawled) — and are only ever scanned map-side, never
+    # exchanged). Above it, fall back to exact shuffle anti-joins.
+    dedup_broadcast_max: int = 4_000_000
 
 
 def _path_col(url):
@@ -1427,8 +1433,19 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # dedup vs seen (Bloom + exact confirm) and vs in-flight frontier
-        uniq = uniq.withColumn("url_hash", stable_long_hash(F.col("url")))
+        # dedup vs seen (Bloom + exact confirm) and vs in-flight frontier.
+        # persist + count the attenuated candidate batch ONCE: the count job
+        # fills the cache (links join + attenuation window run exactly once)
+        # and its scalar gates BOTH broadcast-confirm paths below — the
+        # candidate batch is bounded per round, the seen set and the frontier
+        # are NOT (O(total crawled) / O(10^10) at target scale), so neither
+        # may ever be shuffled for these dedups.
+        uniq = uniq.withColumn(
+            "url_hash", stable_long_hash(F.col("url"))
+        ).persist()
+        persisted.append(uniq)
+        n_cand = uniq.count()
+        cand_broadcastable = n_cand <= cfg.dedup_broadcast_max
         bloom = None
         bloom_prev = None
         if cfg.use_bloom:
@@ -1515,15 +1532,30 @@ class CrawlEngine:
         match_kids = uniq.filter(F.col("p_fresh") != "always")
         unseen_children = filter_unseen(
             match_kids, seen_next.select("url_hash"), bloom, key_col="url_hash",
-            persisted=persisted,
+            persisted=persisted, confirm_broadcast=cand_broadcastable,
         ).drop("url_hash").unionByName(always_kids)
-        fresh = unseen_children.join(
-            remaining.select("url").unionByName(
-                fetched.filter(F.col("outcome").isin(*REQUEUE_CLASS)).select("url")
-            ),
-            "url",
-            "left_anti",
+        # in-flight dedup (J5): a child already sitting in the frontier (or
+        # re-enqueued this round) must not enqueue twice. The frontier is
+        # unbounded, so the exact url anti-join must never exchange it:
+        # prefilter the in-flight urls MAP-SIDE against the broadcast
+        # candidate hash set (a collision only inflates the hit set), then
+        # anti-join the candidates against the tiny broadcast hit set by
+        # exact url equality. Fallback for an over-sized candidate batch is
+        # the plain shuffle anti-join.
+        inflight_urls = remaining.select("url").unionByName(
+            fetched.filter(F.col("outcome").isin(*REQUEUE_CLASS)).select("url")
         )
+        if cand_broadcastable:
+            inflight_hits = inflight_urls.join(
+                F.broadcast(uniq.select("url_hash")),
+                stable_long_hash(F.col("url")) == F.col("url_hash"),
+                "left_semi",
+            )
+            fresh = unseen_children.join(
+                F.broadcast(inflight_hits), "url", "left_anti"
+            )
+        else:
+            fresh = unseen_children.join(inflight_urls, "url", "left_anti")
         # localCheckpoint: both the allowed (frontier) and denied (excluded)
         # branches read this frame, and its plan (links join + Bloom probe +
         # anti-joins) would otherwise be re-embedded in the enqueue/write

@@ -178,6 +178,26 @@ def main() -> int:
     ck_m.destroy()
     ck.destroy()
 
+    # 7c. exact-confirm discipline: the broadcast confirm path never
+    # EXCHANGES the seen side (the seen set is O(total crawled); every
+    # shuffle of it would make a round O(history)). The suspect keys go out
+    # as broadcasts; the only joins on the confirm path are BroadcastHashJoin
+    # LeftSemi (seen scanned map-side) + LeftAnti — no SortMergeJoin and no
+    # hash-exchange of the seen scan anywhere in the plan.
+    from ghcrawler_spark.operators.seen import filter_unseen
+
+    tbl2 = BloomShardTable.build(seen_keys, num_shards=8, fpr=0.01)
+    p = explain_str(
+        filter_unseen(cand, seen_keys, tbl2, confirm_broadcast=True)
+    )
+    plans["seen_confirm_broadcast"] = p
+    checks.append(("seen exact-confirm broadcasts suspects; seen side never exchanges",
+                   "SortMergeJoin" not in p
+                   and p.count("BroadcastHashJoin") >= 2
+                   and "LeftSemi" in p and "LeftAnti" in p,
+                   "expect 2+ BroadcastHashJoins (LeftSemi+LeftAnti), no SortMergeJoin"))
+    tbl2.destroy()
+
     # 8. trait caps: budgeted traits go through the salted two-phase top-k
     # (pre-cut per (trait, salt) BEFORE the exact single-key trait window),
     # so no one-task window ever sorts the full polite set
