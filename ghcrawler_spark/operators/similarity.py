@@ -145,6 +145,103 @@ def embedding_near_dup_pairs(
     )
 
 
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: assign every corpus vector to its nearest CENTROID
+    (the inverted-file partition key), then scan only the query's ``nprobe``
+    nearest lists. ``centroids`` is a plain list of (cid, [float, ...]) —
+    nlist entries, collected driver-side by the caller (nlist rows, the same
+    scalar-scale collect the engine allows for manifests; real deployments
+    refine them with Lloyd iterations of the very assignment expression used
+    here — sampled centroids ARE k-means iteration 0).
+
+    Scale shape: assignment is a MAP-ONLY fold over a literal centroid array
+    (no join, no row blow-up, no shuffle — at 10^10 rows the corpus is
+    assigned in one codegen'd pass); the probe is an equi-join on ``cid``
+    against ``nprobe`` broadcast probe rows per query, so each query touches
+    ~nprobe/nlist of the corpus. Assignment ties (4dp-rounded cosine) break
+    on the smaller cid, keeping Spark and the SQL oracle deterministic.
+    """
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(int(cid)).alias("cid"),
+            F.array(*[F.lit(float(x)).cast("float") for x in vec]).alias("cv"),
+        )
+        for cid, vec in centroids
+    ])
+
+    def _nearest(vec_col_: Column) -> Column:
+        # fold over the centroid array keeping the best (score desc, cid asc)
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.round(
+                    dot(vec_col_, c["cv"]) / (norm(vec_col_) * norm(c["cv"])),
+                    COSINE_ROUND,
+                ).alias("s"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return F.aggregate(
+            scored,
+            F.struct(F.lit(-2.0).alias("s"), F.lit(-1).alias("cid")),
+            lambda acc, x: F.when(
+                (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
+                x,
+            ).otherwise(acc),
+        )["cid"]
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_vn"),
+        _nearest(F.col(vec_col)).alias("cid"),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(query_vec_col).alias("_q"),
+        norm(F.col(query_vec_col)).alias("_qn"),
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        cent_arr,
+                        lambda cc: F.struct(
+                            (-F.round(
+                                dot(F.col(query_vec_col), cc["cv"])
+                                / (norm(F.col(query_vec_col)) * norm(cc["cv"])),
+                                COSINE_ROUND,
+                            )).alias("negs"),
+                            cc["cid"].alias("cid"),
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            )["cid"]
+        ).alias("cid"),
+    )
+    scored = c.join(F.broadcast(probes), "cid").withColumn(
+        "score",
+        F.round(dot(F.col("_v"), F.col("_q")) / (F.col("_vn") * F.col("_qn")), COSINE_ROUND),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "score", "rnk")
+    )
+
+
 def ann_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,

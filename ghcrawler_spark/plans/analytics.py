@@ -1297,6 +1297,72 @@ def n3_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", "score", F.col("rnk").cast("long").alias("rnk"))
 
 
+_IVF_NLIST = 16
+_IVF_NPROBE = 2
+
+
+@register(
+    "n4_ann_ivf",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                  WHERE vec_id < {_IVF_NLIST}),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {V.cosine_sql('e.embedding', 'c.cv')} DESC, c.cid ASC
+               ) AS arn
+        FROM embeddings e, cent c
+      ) WHERE arn = 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+          WHERE vec_id < {_N_QUERIES}),
+    probes AS (
+      SELECT qid, qvec, cid FROM (
+        SELECT q.qid, q.qvec, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {V.cosine_sql('q.qvec', 'c.cv')} DESC, c.cid ASC
+               ) AS prn
+        FROM q, cent c
+      ) WHERE prn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.qid, a.vec_id,
+             {V.cosine_sql('a.embedding', 'p.qvec')} AS score
+      FROM assign a JOIN probes p USING (cid)
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC)
+                  AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rnk FROM ranked WHERE rnk <= {_ANN_K}
+    """,
+)
+def n4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (the FAISS-style inverted-file shape): nlist sampled
+    centroids (k-means iteration 0 — deterministic, so the DuckDB oracle can
+    replay the exact same index), map-only nearest-centroid assignment over
+    a literal centroid array (zero shuffle at assignment time), probe the
+    query's nprobe nearest lists only. Complements n2/n3: data-adaptive
+    partitions instead of fixed sign hyperplanes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < _IVF_NLIST)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = S.ann_ivf(emb, q, cent, k=_ANN_K, nprobe=_IVF_NPROBE)
+    return out.select("qid", "vec_id", "score", F.col("rnk").cast("long").alias("rnk"))
+
+
 @register(
     "d7_dedup_keeplist",
     f"""

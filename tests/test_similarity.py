@@ -121,3 +121,43 @@ def test_multiprobe_recall_dominates_single_bucket(spark):
     }
     assert single <= mp_cand
     assert len(mp_cand) > len(single)  # probes genuinely widen the pool
+
+
+def test_ivf_matches_numpy_replay(spark):
+    """ann_ivf == a full numpy replay of the same IVF index (sampled
+    centroids, 4dp-rounded cosine, (score desc, id asc) ties): assignment,
+    probe selection, and final top-k all agree — the same determinism
+    contract the n4 DuckDB oracle pins at the gate."""
+    from ghcrawler_spark.operators.similarity import ann_ivf
+
+    corpus, vecs = _corpus(spark, n=200, dim=32, seed=7)
+    nlist, nprobe, k, nq = 8, 2, 10, 3
+    cent = [(i, vecs[i].tolist()) for i in range(nlist)]
+    q = corpus.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = {}
+    for r in ann_ivf(corpus, q, cent, k=k, nprobe=nprobe).collect():
+        got.setdefault(r["qid"], []).append((r["rnk"], r["vec_id"], r["score"]))
+
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    cv = v[:nlist]
+    cn = norms[:nlist]
+
+    def cos_to_cents(i):
+        return np.round((cv @ v[i]) / (cn * norms[i]), 4)
+
+    assign = np.array([
+        min(range(nlist), key=lambda c: (-cos_to_cents(i)[c], c))
+        for i in range(len(v))
+    ])
+    for qid in range(nq):
+        probes = sorted(range(nlist), key=lambda c: (-cos_to_cents(qid)[c], c))[:nprobe]
+        cand = [i for i in range(len(v)) if assign[i] in probes]
+        scores = {i: round((v[i] @ v[qid]) / (norms[i] * norms[qid]), 4) for i in cand}
+        order = sorted(cand, key=lambda i: (-scores[i], i))[:k]
+        rows = sorted(got[qid])
+        assert [vid for _, vid, _ in rows] == order, qid
+        for _, vid, score in rows:
+            assert abs(score - scores[vid]) < 2e-4, (qid, vid)
