@@ -47,6 +47,34 @@ def test_filter_unseen_equals_exact_antijoin(spark):
     assert via_bloom == exact
 
 
+def test_filter_unseen_confirm_modes_identical(spark):
+    """broadcast / shuffle / auto confirm modes (and the no-bloom broadcast
+    path) all return the exact anti-join set — duplicate seen rows included
+    (the seen log re-appends recrawled urls; anti-join semantics must not
+    care). The broadcast path is the engine's 10^10 shape: the seen side is
+    scanned map-side, never exchanged (pinned by tools/audit_plans.py)."""
+    seen = spark.range(0, 3000).select(F.col("id").alias("url_hash"))
+    seen = seen.unionByName(seen.limit(500))  # duplicate keys, like the log
+    cand = spark.range(1500, 6000).select(F.col("id").alias("url_hash"))
+    bloom = BloomShardSet.build(seen, num_shards=4, fpr=0.05)
+    exact = sorted(
+        r["url_hash"] for r in cand.join(seen, "url_hash", "left_anti").collect()
+    )
+    for mode in (True, False, None):
+        got = sorted(
+            r["url_hash"]
+            for r in filter_unseen(
+                cand, seen, bloom, confirm_broadcast=mode
+            ).collect()
+        )
+        assert got == exact, mode
+    no_bloom_bc = sorted(
+        r["url_hash"]
+        for r in filter_unseen(cand, seen, None, confirm_broadcast=True).collect()
+    )
+    assert no_bloom_bc == exact
+
+
 def test_filter_unseen_none_bloom_degrades(spark):
     seen = spark.range(0, 100).select(F.col("id").alias("url_hash"))
     cand = spark.range(50, 150).select(F.col("id").alias("url_hash"))
