@@ -37,6 +37,8 @@ HEADLINE = [
     "n2_ann_bucketed",
     "t1_text_analysis",
     "t2_fingerprint",
+    "m1_audio_features",
+    "m2_video_frame_sample",
 ]
 
 

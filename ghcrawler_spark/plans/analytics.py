@@ -1484,6 +1484,113 @@ def v2_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m1_audio_features",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             8000 * (1 + doc_id % 3) AS sample_rate,
+             2 + doc_id % 29 AS hp,
+             256 + (doc_id * 37) % 1024 AS n_samples,
+             1000 + (doc_id * 131) % 20000 AS amp
+      FROM documents
+    )
+    SELECT doc_id, sample_rate, n_samples,
+           (n_samples * 1000) // sample_rate AS duration_ms,
+           amp AS peak,
+           ROUND(CAST(amp AS DOUBLE), 4) AS rms,
+           (n_samples - 1) // hp AS zero_crossings
+    FROM p ORDER BY doc_id
+    """,
+)
+def m1_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio lane: synthesize a deterministic PCM16 square wave
+    per document, serialize it as a REAL RIFF/WAV file, then decode the
+    bytes back (the decoder sees only the blob) and extract features
+    (duration, peak, RMS, zero crossings) in one Arrow-batched pass. The
+    oracle recomputes every feature analytically from the seed formulas, so
+    the hash match proves the binary encode→decode round-trip is exact —
+    stronger than the rows-only check binary pipelines usually get.
+    Reference analog: opaque fetched payloads + typed metadata derived at
+    process time (lib/crawler.js _processDocument)."""
+    from ghcrawler_spark.functions import media as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (8000 * (1 + F.col("doc_id") % 3)).cast("long").alias("rate"),
+        (2 + F.col("doc_id") % 29).cast("long").alias("hp"),
+        (256 + (F.col("doc_id") * 37) % 1024).cast("long").alias("n"),
+        (1000 + (F.col("doc_id") * 131) % 20000).cast("long").alias("amp"),
+    )
+    wav = params.select(
+        "doc_id",
+        M.synth_wav_udf(
+            F.col("doc_id"), F.col("rate"), F.col("hp"), F.col("n"), F.col("amp")
+        ).alias("bytes"),
+    )
+    return M.audio_features(wav, "bytes").select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "peak",
+        "rms",
+        "zero_crossings",
+    ).orderBy("doc_id")
+
+
+@register(
+    "m2_video_frame_sample",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             16 + 8 * (doc_id % 4) AS width,
+             16 + 8 * (doc_id % 3) AS height,
+             6 + doc_id % 20 AS n_frames,
+             (doc_id * 31) % 256 AS y0,
+             1 + doc_id % 97 AS stp
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT doc_id, f.frame_idx,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           n_frames,
+           ROUND(CAST((y0 + f.frame_idx * stp) % 256 AS DOUBLE), 4) AS mean_luma
+    FROM p, unnest(generate_series(0, n_frames - 1, 3)) AS f(frame_idx)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def m2_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video lane: constant-luma frames packed into a REAL
+    YUV4MPEG2 stream (C420jpeg chroma planes included), then frame-sampled
+    every 3rd frame via a mapInPandas fan-out — the training-pipeline shape
+    for video (decode → sample frames → per-frame features), with pixel
+    data never leaving the task. The oracle replays the frame schedule with
+    generate_series and the luma formula; hash parity proves the Y4M
+    parse (header fields, plane offsets, frame boundaries) is exact."""
+    from ghcrawler_spark.functions import media as M
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    params = docs.select(
+        "doc_id",
+        (16 + 8 * (F.col("doc_id") % 4)).cast("long").alias("w"),
+        (16 + 8 * (F.col("doc_id") % 3)).cast("long").alias("h"),
+        (6 + F.col("doc_id") % 20).cast("long").alias("nf"),
+        ((F.col("doc_id") * 31) % 256).cast("long").alias("y0"),
+        (1 + F.col("doc_id") % 97).cast("long").alias("stp"),
+    )
+    vid = params.select(
+        "doc_id",
+        M.synth_y4m_udf(
+            F.col("doc_id"), F.col("w"), F.col("h"),
+            F.col("nf"), F.col("y0"), F.col("stp"),
+        ).alias("bytes"),
+    )
+    return M.video_frame_sample(vid, "doc_id", "bytes", every=3).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@register(
     "t3_quality_filter",
     f"""
     WITH scored AS (

@@ -218,6 +218,30 @@ def main() -> int:
                    "formatted plan lists operators leaf-first: the (trait,salt) "
                    "pre-cut must appear before the single-key exact rank"))
 
+    # 10. multimodal lanes: payload binaries must never cross an Exchange —
+    # decode/feature projections run map-side over the scan; the only
+    # shuffles in m1/m2 are the final fixed-width-row sorts. Checked from
+    # the formatted plan's detail blocks: no Exchange operator may list a
+    # `bytes` column among its inputs.
+    import re as _re
+
+    def exchange_carries(plan: str, col: str) -> bool:
+        for m in _re.finditer(r"\(\d+\) (?:Exchange|BroadcastExchange)", plan):
+            block = plan[m.start() : plan.find("\n(", m.start() + 2)]
+            if col in block:
+                return True
+        return False
+
+    for mq, node in (
+        ("m1_audio_features", "ArrowEvalPython"),
+        ("m2_video_frame_sample", "MapInPandas"),
+    ):
+        p = explain_str(qs[mq](spark, SF))
+        plans[mq] = p
+        checks.append((f"{mq}: payload bytes never cross an Exchange",
+                       node in p and not exchange_carries(p, "bytes"),
+                       f"expect {node} and no Exchange input containing `bytes`"))
+
     # report
     failed = 0
     lines = ["# PLANS — physical-plan audit (tools/audit_plans.py)", ""]
