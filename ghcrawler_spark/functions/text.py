@@ -181,6 +181,90 @@ def fingerprint_sql(expr: str) -> str:
     )
 
 
+def shingles_from_tokens(toks: Column, k: int) -> Column:
+    """k-token shingles from an ALREADY-PROJECTED token-array column.
+
+    Callers must hoist the token array into its own projection first:
+    Catalyst does not CSE higher-order-function lambdas, so passing
+    ``tokens(text)`` inline re-tokenizes once per shingle position
+    (O(len²)/doc — the round-2 trap recorded in PLANS.md)."""
+    windowed = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(F.size(toks) >= k, windowed).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def shingles_from_tokens_sql(toks: str, k: int) -> str:
+    windowed = (
+        f"list_transform(generate_series(1, len({toks}) - {k - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))"
+    )
+    whole = f"[array_to_string({toks}, ' ')]"
+    return f"CASE WHEN len({toks}) >= {k} THEN {windowed} ELSE {whole} END"
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Highest element multiplicity in an array column (the mode's count).
+
+    O(d·u) per row (d = array length, u = distinct) — per-document bounded
+    work that never shuffles, which is exactly the right trade at corpus
+    scale vs an explode+groupBy per (doc, token). ``arr`` must be a plain
+    column reference (see shingles_from_tokens on the CSE trap)."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(arr),
+            lambda x: F.size(F.filter(arr, lambda y: y == x)),
+        )
+    )
+
+
+def max_multiplicity_sql(arr: str) -> str:
+    return (
+        f"list_max(list_transform(list_distinct({arr}), "
+        f"x -> len(list_filter({arr}, y -> y = x))))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection/redaction (corpus scrubbing) — pure regex Columns.
+# Patterns are chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): \b, \d and bounded quantifiers behave identically.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b555-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_count(text: Column | str, pattern: str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(pattern)).cast("long")
+
+
+def pii_count_sql(expr: str, pattern: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{pattern}')) AS BIGINT)"
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact every PII class, in the fixed PII_PATTERNS order (email first
+    so later passes never see an address's digit runs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pattern, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def pii_scrub_sql(expr: str) -> str:
+    for _, pattern, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+    return expr
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """k-token shingles (space-joined). Shorter docs yield one whole-doc
     shingle so every document participates in dedup."""

@@ -1830,6 +1830,311 @@ def f11_links_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-curation lane (round 4): the scrub/filter/mix operators a training-
+# data pipeline runs AFTER dedup — PII redaction, Gopher repetition gates,
+# chunk-level exact substring dedup (Lee et al. 2022 style), benchmark
+# decontamination, and deterministic stratified source mixing. Every one is
+# a pure-Column / banded plan that survives 100 TB (no all-pairs, no
+# unbounded shuffle; t4/t5/t6 are map-only).
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = T.tokens_sql("text")
+
+# Deterministic PII augmentation: the synthetic corpus is PII-free, so both
+# engines inject the same synthetic identifiers before scrubbing — the
+# detector/redactor parity is what's under test.
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from "
+    "10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 AS "
+    "VARCHAR) || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "t4_pii_scrub",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS atext FROM documents)
+    SELECT doc_id,
+           {T.pii_count_sql('atext', T.PII_PATTERNS[0][1])} AS n_email,
+           {T.pii_count_sql('atext', T.PII_PATTERNS[1][1])} AS n_ip,
+           {T.pii_count_sql('atext', T.PII_PATTERNS[2][1])} AS n_phone,
+           CAST(length({T.pii_scrub_sql('atext')}) AS BIGINT) AS scrub_len,
+           {stable_long_hash_sql(T.pii_scrub_sql('atext'))} AS scrub_fp
+    FROM aug
+    """,
+)
+def t4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: count emails / IPv4s /
+    phone-style numbers and fingerprint the redacted text. Pure regex
+    Columns (whole-stage codegen, shuffle-free) — the hash parity with
+    DuckDB's RE2 engine pins that the patterns mean the same thing in both
+    regex dialects, which is the risky part of any PII pass."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("atext"),
+    )
+    scrubbed = T.pii_scrub("atext")
+    return aug.select(
+        "doc_id",
+        T.pii_count("atext", T.PII_PATTERNS[0][1]).alias("n_email"),
+        T.pii_count("atext", T.PII_PATTERNS[1][1]).alias("n_ip"),
+        T.pii_count("atext", T.PII_PATTERNS[2][1]).alias("n_phone"),
+        F.length(scrubbed).cast("long").alias("scrub_len"),
+        stable_long_hash(scrubbed).alias("scrub_fp"),
+    )
+
+
+# Gopher-style repetition gates (Rae et al. 2021 §A1.1 heuristics, count-based
+# variant): most-frequent-token ratio and duplicate/top 2-gram fractions.
+_GOPHER_TOP_TOK = 0.10
+_GOPHER_DUP2 = 0.05
+
+
+@register(
+    "t5_gopher_repetition",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g AS (SELECT doc_id, t, {T.shingles_from_tokens_sql('t', 2)} AS g2 FROM toks),
+    m AS (
+      SELECT doc_id,
+        round({T.max_multiplicity_sql('t')} / CAST(len(t) AS DOUBLE), 6)
+          AS top_tok_ratio,
+        CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE round(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
+        END AS dup_2gram_frac,
+        CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE round({T.max_multiplicity_sql('g2')} / CAST(len(g2) AS DOUBLE), 6)
+        END AS top_2gram_frac
+      FROM g)
+    SELECT doc_id, top_tok_ratio, dup_2gram_frac, top_2gram_frac,
+           (top_tok_ratio <= {_GOPHER_TOP_TOK} AND dup_2gram_frac <= {_GOPHER_DUP2})
+             AS keep
+    FROM m
+    """,
+)
+def t5_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters: per-document mode-token ratio plus
+    duplicate- and top-2-gram fractions, thresholded into a keep flag.
+    Map-only: every metric is a higher-order-function fold over arrays that
+    are HOISTED into their own projections (the non-CSE trap — inlining the
+    token array would re-tokenize per shingle position)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens("text").alias("t"))
+    g = toks.select("doc_id", "t", T.shingles_from_tokens(F.col("t"), 2).alias("g2"))
+    n2 = F.size("g2")
+    m = g.select(
+        "doc_id",
+        F.round(
+            T.max_multiplicity(F.col("t")) / F.size("t").cast("double"), 6
+        ).alias("top_tok_ratio"),
+        F.when(n2 == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("g2")) / n2.cast("double"), 6
+            )
+        )
+        .alias("dup_2gram_frac"),
+        F.when(n2 == 0, F.lit(0.0))
+        .otherwise(
+            F.round(T.max_multiplicity(F.col("g2")) / n2.cast("double"), 6)
+        )
+        .alias("top_2gram_frac"),
+    )
+    return m.withColumn(
+        "keep",
+        (F.col("top_tok_ratio") <= _GOPHER_TOP_TOK)
+        & (F.col("dup_2gram_frac") <= _GOPHER_DUP2),
+    )
+
+
+_CHUNK_TOKENS = 10
+
+
+@register(
+    "d8_chunk_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    ch AS (
+      SELECT doc_id,
+        CASE WHEN len(t) >= {_CHUNK_TOKENS}
+          THEN list_transform(
+                 generate_series(1, len(t) - {_CHUNK_TOKENS - 1}, {_CHUNK_TOKENS}),
+                 i -> {stable_long_hash_sql(
+                     f"array_to_string(list_slice(t, i, i + {_CHUNK_TOKENS - 1}), ' ')")})
+          ELSE [{stable_long_hash_sql("array_to_string(t, ' ')")}] END AS chunks
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(chunks) AS ch_hash FROM ch),
+    cnt AS (SELECT ch_hash, count(DISTINCT doc_id) AS nd FROM ex GROUP BY ch_hash),
+    per_doc AS (
+      SELECT e.doc_id,
+             count(*) AS n_chunks,
+             count(*) FILTER (c.nd > 1) AS n_shared
+      FROM ex e JOIN cnt c ON e.ch_hash = c.ch_hash
+      GROUP BY e.doc_id)
+    SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / CAST(n_chunks AS DOUBLE), 6) AS shared_frac
+    FROM per_doc
+    """,
+)
+def d8_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at chunk granularity (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): 10-token
+    stride windows hashed to fixed-width int64s, counted across documents,
+    folded back to a per-document shared-chunk fraction. The only shuffled
+    payload is (doc_id, chunk_hash) — 16 bytes/row regardless of document
+    size, so the plan survives arbitrarily wide documents at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens("text").alias("t"))
+    n = F.size("t")
+    windowed = F.transform(
+        F.sequence(F.lit(1), n - (_CHUNK_TOKENS - 1), F.lit(_CHUNK_TOKENS)),
+        lambda i: stable_long_hash(
+            F.concat_ws(" ", F.slice(F.col("t"), i, _CHUNK_TOKENS))
+        ),
+    )
+    whole = F.array(stable_long_hash(F.concat_ws(" ", F.col("t"))))
+    ex = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(n >= _CHUNK_TOKENS, windowed).otherwise(whole)
+        ).alias("ch_hash"),
+    )
+    cnt = ex.groupBy("ch_hash").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        ex.join(cnt, "ch_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(F.col("nd") > 1).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared") / F.col("n_chunks").cast("double"), 6
+            ).alias("shared_frac"),
+        )
+    )
+
+
+# Benchmark decontamination: k=4 shingles (real pipelines use 8-13; the
+# synthetic docs are 10-99 tokens of a small vocabulary, so k=4 keeps the
+# overlap statistics meaningful at test scale — the plan is k-agnostic).
+_DECON_K = 4
+_DECON_BENCH_MOD = 50
+
+
+@register(
+    "d9_decontaminate",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+                  WHERE len({_TOKS_SQL}) >= {_DECON_K}),
+    sh AS (SELECT doc_id,
+             list_transform(generate_series(1, len(t) - {_DECON_K - 1}),
+               i -> {stable_long_hash_sql(
+                   f"array_to_string(list_slice(t, i, i + {_DECON_K - 1}), ' ')")})
+               AS s
+           FROM toks),
+    bench AS (SELECT DISTINCT unnest(s) AS g FROM sh
+              WHERE doc_id % {_DECON_BENCH_MOD} = 0),
+    cand AS (SELECT doc_id, unnest(s) AS g FROM sh
+             WHERE doc_id % {_DECON_BENCH_MOD} <> 0)
+    SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_hits
+    FROM cand c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+    """,
+)
+def d9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents sharing any k-token shingle with
+    the (small) benchmark set, with the distinct-overlap count. The
+    benchmark shingle set is broadcast — the corpus side never shuffles its
+    text, only the (doc_id, shingle_hash) rows that actually hit, so at
+    100 TB the exchanged volume is proportional to contamination, not
+    corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens("text").alias("t")).filter(
+        F.size("t") >= _DECON_K
+    )
+    sh = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (_DECON_K - 1)),
+            lambda i: stable_long_hash(
+                F.concat_ws(" ", F.slice(F.col("t"), i, _DECON_K))
+            ),
+        ).alias("s"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    cand = sh.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0).select(
+        "doc_id", F.explode("s").alias("g")
+    )
+    return (
+        cand.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").cast("long").alias("n_hits"))
+    )
+
+
+@register(
+    "t6_domain_mix",
+    f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             2500 * (1 + CAST(substr(source, 4) AS BIGINT) % 4) AS keep_bp,
+             {stable_long_hash_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000
+               AS bucket
+      FROM documents)
+    SELECT doc_id, source, CAST(keep_bp AS BIGINT) AS keep_bp,
+           CAST(bucket AS BIGINT) AS bucket,
+           round(10000.0 / keep_bp, 6) AS mix_weight
+    FROM rated WHERE bucket < keep_bp
+    """,
+)
+def t6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified source mixing (the data-mixing step of a
+    training pipeline): per-source keep rates applied via a stable hash
+    bucket, with the inverse-propensity mix weight for unbiased reweighting.
+    Map-only and shuffle-free — repeatable across runs and engines, unlike
+    ``df.sample`` whose output depends on partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    rated = docs.select(
+        "doc_id",
+        "source",
+        (2500 * (1 + F.substring("source", 4, 10).cast("long") % 4))
+        .cast("long")
+        .alias("keep_bp"),
+        (
+            stable_long_hash(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+            % 10000
+        ).alias("bucket"),
+    )
+    return rated.filter(F.col("bucket") < F.col("keep_bp")).select(
+        "doc_id",
+        "source",
+        "keep_bp",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round(F.lit(10000.0) / F.col("keep_bp"), 6).alias("mix_weight"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

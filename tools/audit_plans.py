@@ -242,6 +242,25 @@ def main() -> int:
                        node in p and not exchange_carries(p, "bytes"),
                        f"expect {node} and no Exchange input containing `bytes`"))
 
+    # corpus-curation lane (round 4): t4/t5/t6 are map-only; d9's benchmark
+    # shingle set must broadcast (the corpus side never builds a hash table
+    # of itself); d8's only shuffled payload is fixed-width (doc_id, hash) —
+    # the text column must not cross an Exchange.
+    for cq in ("t4_pii_scrub", "t5_gopher_repetition", "t6_domain_mix"):
+        p = explain_str(qs[cq](spark, SF))
+        plans[cq] = p
+        checks.append((f"{cq} is map-only (no Exchange)", "Exchange" not in p, ""))
+    p = explain_str(qs["d9_decontaminate"](spark, SF))
+    plans["d9_decontaminate"] = p
+    checks.append(("d9 broadcasts the benchmark shingle set",
+                   "BroadcastHashJoin" in p or "BroadcastExchange" in p,
+                   "benchmark side must broadcast"))
+    p = explain_str(qs["d8_chunk_dedup"](spark, SF))
+    plans["d8_chunk_dedup"] = p
+    checks.append(("d8 chunk dedup never shuffles document text",
+                   not exchange_carries(p, "text") and "CartesianProduct" not in p,
+                   "only (doc_id, ch_hash) rows may cross an Exchange"))
+
     # report
     failed = 0
     lines = ["# PLANS — physical-plan audit (tools/audit_plans.py)", ""]
