@@ -39,6 +39,11 @@ HEADLINE = [
     "t2_fingerprint",
     "m1_audio_features",
     "m2_video_frame_sample",
+    "t4_pii_scrub",
+    "t5_gopher_repetition",
+    "d8_chunk_dedup",
+    "d9_decontaminate",
+    "t6_domain_mix",
 ]
 
 
