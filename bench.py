@@ -78,14 +78,22 @@ def main() -> None:
             except Exception:
                 pass
 
+    # best-of-2 timed passes per query (JMH steady-state): this shared host
+    # has multi-hour contention eras and ±2-4x single-pass swings (BENCH.md
+    # "Reading the numbers honestly"); the min of two passes reports the
+    # plan's cost, not which era one pass sampled. Applied uniformly to
+    # every headline query.
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
 
     # headline throughput: frontier rows selected+ordered per second
     n_frontier = spark.read.parquet(f"{sf_dir}/events.parquet").count()
