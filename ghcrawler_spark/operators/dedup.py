@@ -24,7 +24,7 @@ attenuatedQueue.js:24-52); here the same idea applied to document CONTENT.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ghcrawler_spark.functions.text import tokens
@@ -135,6 +135,64 @@ def minhash_signatures(
     return sh.groupBy("doc").agg(*aggs)
 
 
+def _array_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int
+) -> DataFrame:
+    """(doc, hs, n_sh, mh_0..mh_{n-1}) — the shuffle-free array-signature
+    frame shared by batch and incremental MinHash-LSH.
+
+    Map-only: token array HOISTED into its own projection (higher-order
+    functions are not CSE'd — inlining tokens() into the slice lambda
+    re-splits the text once per shingle position, O(len²) per doc); the
+    distinct 60-bit md5-prefix hash array `hs` stands in for the shingle
+    strings (collisions negligible; same family the DuckDB oracle uses) and
+    is likewise hoisted before the family transforms — the k array_min
+    members each re-walk the array, so referencing the raw expression would
+    re-shingle + re-hash the doc once PER MEMBER."""
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("_toks"))
+    sh_strs = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("_toks"))))
+    arr = toks.select(
+        "doc",
+        F.array_distinct(F.transform(sh_strs, lambda s: minhash_base(s))).alias(
+            "hs"
+        ),
+    )
+    return arr.select(
+        "doc",
+        "hs",
+        F.size("hs").alias("n_sh"),
+        *[
+            F.array_min(
+                F.transform(F.col("hs"), lambda h: minhash_member(h, i))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+
+def _band_frame(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, bkey) — LSH band keys from a signature frame."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *members)).alias("bkey"),
+            )
+        )
+    return sigs.select(
+        F.col("doc"), F.explode(F.array(*band_cols)).alias("bd")
+    ).select("doc", F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -172,52 +230,8 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     if threshold <= 0:
         raise ValueError("minhash_lsh_pairs needs threshold > 0")
-    # token array hoisted into its own projection (higher-order functions
-    # are not CSE'd — inlining tokens() into the slice lambda re-splits the
-    # text once per shingle position, O(len²) per doc)
-    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("_toks"))
-    sh_strs = F.when(
-        F.size("_toks") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", F.col("_toks"))))
-    # distinct 60-bit md5-prefix hashes stand in for the shingle strings
-    # (collisions negligible; the exact-Jaccard filter is unaffected in
-    # expectation — same hash the DuckDB oracle family is built from)
-    # hs likewise hoisted before the family transforms — the 12 array_min
-    # members each re-walk the array; referencing the raw expression would
-    # re-shingle + re-hash the doc once PER MEMBER (not CSE'd)
-    arr = toks.select(
-        "doc",
-        F.array_distinct(F.transform(sh_strs, lambda s: minhash_base(s))).alias(
-            "hs"
-        ),
-    )
-    sigs = arr.select(
-        "doc",
-        "hs",
-        F.size("hs").alias("n_sh"),
-        *[
-            F.array_min(
-                F.transform(F.col("hs"), lambda h: minhash_member(h, i))
-            ).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ],
-    ).persist()
-    band_cols = []
-    for b in range(bands):
-        members = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *members)).alias("bkey"),
-            )
-        )
-    banded = sigs.select(
-        F.col("doc"), F.explode(F.array(*band_cols)).alias("bd")
-    ).select("doc", F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey"))
+    sigs = _array_signatures(df, id_col, text_col, k, num_hashes).persist()
+    banded = _band_frame(sigs, num_hashes, bands)
     # Candidate pairs via ONE groupBy on the band key instead of a
     # banded-self-join: the join shape exchanges the banded rows TWICE (once
     # per side) and hash-probes; the bucket-grouped shape exchanges them
@@ -302,6 +316,90 @@ def minhash_lsh_pairs(
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     sigs.unpersist()
+    return out
+
+
+def minhash_lsh_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = MINHASH_FUNCS,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """Incremental-ingest dedup: new `delta` documents checked against the
+    existing `base` corpus — the daily-increment shape of a training-data
+    pipeline, where re-running all-corpus LSH per batch would be O(corpus)
+    instead of O(batch).
+
+    Returns (new_id, dup_of, jaccard): each delta document's BEST matching
+    base document at exact Jaccard ≥ threshold (rank by jaccard desc then
+    dup_of asc — deterministic). Delta docs with no match are absent (they
+    are the keep-list).
+
+    Scale shape: the base corpus side NEVER exchanges — delta band keys are
+    broadcast into the base band stream (in production the base band table
+    is the persisted index, so the per-batch cost is one scan of the band
+    index, not of the corpus text), candidate pairs are broadcast back
+    against the two signature frames, and only candidate rows carry arrays.
+    The window ranks within one delta doc's matches (bounded by LSH
+    selectivity), never globally."""
+    sig_d = _array_signatures(delta, id_col, text_col, k, num_hashes).persist()
+    sig_b = _array_signatures(base, id_col, text_col, k, num_hashes)
+    bands_d = _band_frame(sig_d, num_hashes, bands).select(
+        F.col("doc").alias("new_id"), "band", "bkey"
+    )
+    bands_b = _band_frame(sig_b, num_hashes, bands)
+    cand = (
+        bands_b.join(F.broadcast(bands_d), ["band", "bkey"])
+        .select(F.col("doc").alias("dup_of"), "new_id")
+        .distinct()
+    )
+    half = F.broadcast(cand).join(
+        sig_d.select(
+            F.col("doc").alias("new_id"),
+            F.col("hs").alias("hs_n"),
+            F.col("n_sh").alias("n_n"),
+        ),
+        "new_id",
+    )
+    pairs = F.broadcast(half).join(
+        sig_b.select(
+            F.col("doc").alias("dup_of"),
+            F.col("hs").alias("hs_b"),
+            F.col("n_sh").alias("n_b"),
+        ),
+        "dup_of",
+    )
+    verified = (
+        pairs.withColumn("n_inter", F.size(F.array_intersect("hs_n", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_n") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("dup_of").asc()
+    )
+    out = (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("new_id", "dup_of", "jaccard")
+    )
+    if not materialize:
+        # lazy variant for plan audits (tools/audit_plans.py) — caller owns
+        # the sig_d cache lifetime
+        return out
+    out = out.localCheckpoint(eager=True)
+    sig_d.unpersist()
     return out
 
 

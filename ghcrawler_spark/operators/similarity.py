@@ -145,6 +145,48 @@ def embedding_near_dup_pairs(
     )
 
 
+def knn_join(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Corpus-vs-corpus k-NN join: every vector's top-k neighbors among the
+    vectors sharing its sign bucket (self excluded).
+
+    The retrieval-side sibling of embedding_near_dup_pairs: near-dup wants
+    ALL pairs over a threshold, k-NN join wants the BEST k per vector
+    (similar-document mining, hard-negative sampling). Blocking by sign
+    bucket turns the quadratic self-join into per-bucket joins (~N/16 rows
+    each); the ranking window partitions by the query vector, so no global
+    sort exists anywhere. Output: (qid, vec_id, score, rnk)."""
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+        sign_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    scored = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.col("a.id").alias("qid"),
+            F.col("b.id").alias("vec_id"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+                COSINE_ROUND,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "score", "rnk")
+    )
+
+
 def ann_ivf(
     corpus: DataFrame,
     queries: DataFrame,

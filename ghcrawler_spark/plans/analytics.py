@@ -2110,6 +2110,90 @@ def d9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental-ingest dedup: delta batch = doc_id % 10 == 9, corpus = rest.
+_INCR_DELTA_MOD = 10
+_INCR_DELTA_REM = 9
+
+
+@register(
+    "d10_incremental_dedup",
+    f"""
+    WITH sigs AS ({_minhash_sql()}),
+    banded AS ({_minhash_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT n.doc AS new_id, b.doc AS dup_of
+      FROM banded b JOIN banded n
+        ON b.band = n.band AND b.bkey = n.bkey
+      WHERE n.doc % {_INCR_DELTA_MOD} = {_INCR_DELTA_REM}
+        AND b.doc % {_INCR_DELTA_MOD} <> {_INCR_DELTA_REM}
+    ),
+    exact AS ({_JACCARD_PAIRS_SQL}),
+    verified AS (
+      SELECT c.new_id, c.dup_of, e.jaccard
+      FROM cand c JOIN exact e
+        ON e.id_a = least(c.new_id, c.dup_of)
+       AND e.id_b = greatest(c.new_id, c.dup_of)
+      WHERE e.jaccard >= 0.5
+    ),
+    ranked AS (
+      SELECT new_id, dup_of, jaccard,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY jaccard DESC, dup_of ASC) AS rn
+      FROM verified)
+    SELECT new_id, dup_of, jaccard FROM ranked WHERE rn = 1
+    """,
+)
+def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (the daily-batch shape): the documents with
+    doc_id % 10 == 9 arrive as a new batch and are checked against the rest
+    of the corpus via MinHash-LSH band collision + exact-Jaccard verify,
+    reporting each new doc's best existing duplicate. The corpus side never
+    exchanges (delta bands broadcast into the base band stream); in
+    production the base band table is the persisted index, so the per-batch
+    cost is O(batch + collisions), not O(corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % _INCR_DELTA_MOD == _INCR_DELTA_REM)
+    base = docs.filter(F.col("doc_id") % _INCR_DELTA_MOD != _INCR_DELTA_REM)
+    return D.minhash_lsh_incremental(
+        base, delta, "doc_id", "text", k=3, threshold=0.5
+    )
+
+
+_KNN_K = 5
+
+
+@register(
+    "n5_knn_join",
+    f"""
+    WITH c AS (SELECT vec_id, embedding,
+                      {V.sign_bucket_sql('embedding')} AS bucket
+               FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+             {V.cosine_sql('a.embedding', 'b.embedding')} AS score
+      FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, vec_id ASC)
+                  AS BIGINT) AS rnk
+      FROM scored)
+    SELECT qid, vec_id, score, rnk FROM ranked WHERE rnk <= {_KNN_K}
+    """,
+)
+def n5_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus k-NN join (similar-document mining / hard-negative
+    sampling): every vector's top-5 neighbors within its sign bucket. The
+    bucket predicate blocks the quadratic self-join into per-bucket joins;
+    ranking windows partition per query vector — no global sort."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.knn_join(emb, k=_KNN_K)
+    return out.select(
+        "qid", "vec_id", "score", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
 @register(
     "t6_domain_mix",
     f"""

@@ -147,3 +147,77 @@ def test_domain_mix_rate_and_determinism(spark, tmp_path):
     w = a.groupby("source").mix_weight.sum()
     for src in ("src0", "src1", "src2"):
         assert abs(w[src] - 1000) / 1000 < 0.06, (src, w[src])
+
+
+def test_incremental_dedup_matches_base_only(spark):
+    from ghcrawler_spark.operators import dedup as D
+
+    rows = [
+        # base corpus
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "one two three four five six seven eight"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near doc 0
+        # delta batch
+        (9, "alpha beta gamma delta epsilon zeta eta theta"),   # dup of 0 (and 2)
+        (19, "totally fresh content nothing shared here at all"),
+        (29, "one two three four five six seven eight"),         # dup of 1
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = docs.filter("doc_id % 10 != 9")
+    delta = docs.filter("doc_id % 10 = 9")
+    out = {
+        r.new_id: (r.dup_of, r.jaccard)
+        for r in D.minhash_lsh_incremental(
+            base, delta, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    # exact copies rank jaccard=1.0 first, ties broken by lowest base id
+    assert out[9][0] == 0 and out[9][1] == 1.0
+    assert out[29] == (1, 1.0)
+    assert 19 not in out  # fresh doc -> keep-list
+
+
+def test_knn_join_matches_numpy_within_buckets(spark):
+    import numpy as np
+
+    from ghcrawler_spark.functions.vectors import BUCKET_DIMS
+    from ghcrawler_spark.operators.similarity import knn_join
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.qid, r.rnk): (r.vec_id, r.score)
+        for r in knn_join(df, k=3).collect()
+    }
+    # numpy replay: same bucket = same sign pattern on the 1-indexed
+    # BUCKET_DIMS dims (sign_bucket uses strict > 0)
+    def bucket(v):
+        return tuple(v[d - 1] > 0 for d in BUCKET_DIMS)
+
+    v64 = vecs.astype("float64")
+    for q in range(40):
+        cands = [
+            j for j in range(40)
+            if j != q and bucket(vecs[j]) == bucket(vecs[q])
+        ]
+        scored = sorted(
+            (
+                (
+                    -round(
+                        float(
+                            v64[q] @ v64[j]
+                            / (np.linalg.norm(v64[q]) * np.linalg.norm(v64[j]))
+                        ),
+                        4,
+                    ),
+                    j,
+                )
+                for j in cands
+            )
+        )
+        for rnk, (negs, j) in enumerate(scored[:3], start=1):
+            assert got[(q, rnk)][0] == j, (q, rnk)

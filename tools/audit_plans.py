@@ -260,6 +260,27 @@ def main() -> int:
     checks.append(("d8 chunk dedup never shuffles document text",
                    not exchange_carries(p, "text") and "CartesianProduct" not in p,
                    "only (doc_id, ch_hash) rows may cross an Exchange"))
+    # d10's query function eagerly checkpoints (cache discipline), which
+    # would leave only a checkpoint-scan plan — audit the lazy operator.
+    from ghcrawler_spark.operators import dedup as D
+
+    _docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _lazy = D.minhash_lsh_incremental(
+        _docs.filter("doc_id % 10 != 9"), _docs.filter("doc_id % 10 = 9"),
+        "doc_id", "text", k=3, threshold=0.5, materialize=False)
+    p = explain_str(_lazy)
+    plans["d10_incremental_dedup"] = p
+    checks.append(("d10 incremental dedup: delta/candidates broadcast, corpus text never exchanges",
+                   "BroadcastHashJoin" in p and not exchange_carries(p, "text")
+                   and "CartesianProduct" not in p,
+                   "base corpus side must never build a shuffle of its text"))
+    p = explain_str(qs["n5_knn_join"](spark, SF))
+    plans["n5_knn_join"] = p
+    checks.append(("n5 knn join is a bucket equi-join (no cartesian product)",
+                   "CartesianProduct" not in p and any(
+                       j in p for j in
+                       ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")),
+                   "expect an equi-join on bucket"))
 
     # report
     failed = 0
