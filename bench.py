@@ -44,6 +44,8 @@ HEADLINE = [
     "d8_chunk_dedup",
     "d9_decontaminate",
     "t6_domain_mix",
+    "d10_incremental_dedup",
+    "n5_knn_join",
 ]
 
 

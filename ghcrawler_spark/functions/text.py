@@ -228,6 +228,67 @@ def max_multiplicity_sql(arr: str) -> str:
     )
 
 
+def repetition_metrics_exploded(df, id_col: str, text_col: str, k: int = 2):
+    """LONG-document twin of the t5 array folds: identical
+    (top_tok_ratio, dup_kgram_frac, top_kgram_frac) via explode + groupBy,
+    which is O(d) per document plus a shuffle instead of the array fold's
+    shuffle-free O(d·u).
+
+    Pick by document length: the array fold wins for the length-filtered
+    corpus a curation pipeline actually scores (≤ ~1k tokens — no exchange,
+    whole-stage codegen); this path wins for unfiltered outliers (a 100k-
+    token document is 10^10 comparisons under the fold but 10^5 rows here).
+    Equality of the two paths is pinned in tests/test_corpus_curation.py.
+    Requires ≥1 token per document (empty docs drop out of the explode)."""
+    from pyspark.sql import DataFrame  # noqa: F401  (doc aid)
+
+    doc = F.col(id_col).alias("doc")
+    # token array hoisted (non-CSE trap: inlining tokens() into the shingle
+    # window lambda re-tokenizes per position); the generator inputs stay
+    # EXPRESSIONS over the hoisted attribute, not bare column refs, so
+    # InferFiltersFromGenerate does not re-inline the array build into a
+    # pushed-down interpreted filter (see BENCH.md, 8x on d9)
+    toks_df = df.select(doc, tokens(text_col).alias("t"))
+    # concat(t) is an identity expression wrapper: keeps the generator input
+    # non-attribute at zero cost
+    tok_rows = toks_df.select("doc", F.explode(F.concat("t")).alias("tok"))
+    gram_rows = toks_df.select(
+        "doc",
+        F.explode(shingles_from_tokens(F.col("t"), k)).alias("gram"),
+    )
+    tok_stats = (
+        tok_rows.groupBy("doc", "tok")
+        .count()
+        .groupBy("doc")
+        .agg(
+            F.sum("count").alias("n_tok"),
+            F.max("count").alias("max_tok"),
+        )
+    )
+    gram_stats = (
+        gram_rows.groupBy("doc", "gram")
+        .count()
+        .groupBy("doc")
+        .agg(
+            F.sum("count").alias("n_g"),
+            F.max("count").alias("max_g"),
+            F.count(F.lit(1)).alias("n_g_distinct"),
+        )
+    )
+    return tok_stats.join(gram_stats, "doc").select(
+        F.col("doc").alias(id_col),
+        F.round(F.col("max_tok") / F.col("n_tok").cast("double"), 6).alias(
+            "top_tok_ratio"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("n_g_distinct") / F.col("n_g").cast("double"), 6
+        ).alias("dup_2gram_frac"),
+        F.round(F.col("max_g") / F.col("n_g").cast("double"), 6).alias(
+            "top_2gram_frac"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII detection/redaction (corpus scrubbing) — pure regex Columns.
 # Patterns are chosen to mean the same thing in Java regex (Spark) and RE2

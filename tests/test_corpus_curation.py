@@ -221,3 +221,25 @@ def test_knn_join_matches_numpy_within_buckets(spark):
         )
         for rnk, (negs, j) in enumerate(scored[:3], start=1):
             assert got[(q, rnk)][0] == j, (q, rnk)
+
+
+def test_gopher_exploded_twin_equals_array_fold(spark, tmp_path):
+    """The long-document explode+groupBy path must produce exactly the
+    array-fold metrics (t5) — same ratios, same rounding."""
+    import pandas as pd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fold = (
+        A.t5_gopher_repetition(spark, "/root/testdata/sf0.001")
+        .drop("keep")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exploded = (
+        T.repetition_metrics_exploded(docs, "doc_id", "text", k=2)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fold, exploded[fold.columns], check_dtype=False)
