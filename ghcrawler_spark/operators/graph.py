@@ -1,0 +1,114 @@
+"""Link-graph operators for crawl prioritization.
+
+A tiered crawler ranks its frontier by how "important" a host or page is in
+the link graph it has discovered so far (OPIC / PageRank-style priority —
+the reference's tier weights in ``lib/queueSet.js:46-65`` are a static form
+of the same idea; this operator computes the dynamic, graph-derived one).
+
+Everything here is **integer fixed-point** arithmetic: ranks are carried in
+micro-units (``scale`` = 1e12 by default) and every division is integral
+(``DIV``). Floating-point PageRank is not reproducible across engines —
+the per-partition sum order changes the low bits — while the integer
+recurrence is bit-exact in any engine that has 64-bit integers, which is
+what lets the DuckDB oracle replay it (see ``g1_host_rank``) and what makes
+a resumed crawl compute the identical priorities after a restart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank_fixed_point"]
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    persisted: list | None = None,
+) -> DataFrame:
+    """(node, rank_micro) after ``n_iter`` synchronous PageRank iterations
+    over ``edges`` (columns ``src``, ``dst``; callers pass distinct edges,
+    self-loops allowed but pointless).
+
+    The exact recurrence (all integral, all values non-negative):
+
+        n          = |nodes|,  nodes = distinct(src) ∪ distinct(dst)
+        rank_0     = scale DIV n                      (per node)
+        base       = ((100-d) · (rank_0 · n)) DIV (100·n)
+        share(v)   = (rank(v) · d) DIV (100 · outdeg(v))   if outdeg(v) > 0
+        dangling   = Σ_{outdeg(v)=0} (rank(v) · d) DIV 100
+        rank'(u)   = base + dangling DIV n + Σ_{v→u} share(v)
+
+    Scale shape: per iteration ONE shuffle join (shares ⋈ edges on src) and
+    ONE groupBy(dst) — the standard distributed-PageRank plan. The node
+    count and the dangling mass ride 1-row broadcast frames, so the whole
+    computation is a single lazy plan with NO driver-side collects; at
+    cluster scale pre-partitioning edges by src lets every iteration reuse
+    the same exchange. Fixed n_iter bounds plan depth (crawl prioritization
+    wants a handful of sweeps, not convergence to 1e-9).
+
+    One-shot callers get a materialized ~|nodes|-row result with no cache
+    left resident; pipeline callers pass ``persisted`` and unpersist after
+    materializing downstream (engine discipline, same as minhash_lsh_pairs).
+    """
+    if not (0 < damping_pct < 100):
+        raise ValueError("damping_pct must be in (0, 100)")
+    edges = edges.select("src", "dst").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    consts = nodes.agg(F.count(F.lit(1)).alias("n"))  # 1 row
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    d = damping_pct
+    ranks = nodes.crossJoin(F.broadcast(consts)).select(
+        "node", "n", F.expr(f"{scale} div n").alias("rank")
+    )
+    for _ in range(n_iter):
+        shares = ranks.join(outdeg, "node", "left").select(
+            "node",
+            "rank",
+            "outdeg",
+            F.expr(f"(rank * {d}) div (100 * outdeg)").alias("share"),
+        )
+        dang = shares.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum(F.expr(f"(rank * {d}) div 100")), F.lit(0)).alias(
+                "dang"
+            )
+        )
+        inflow = (
+            edges.join(
+                shares.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("node").alias("src"), "share"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(consts))
+            .crossJoin(F.broadcast(dang))
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                "n",
+                F.expr(
+                    f"((100 - {d}) * (({scale} div n) * n)) div (100 * n)"
+                    f" + dang div n + coalesce(inflow, 0)"
+                ).alias("rank"),
+            )
+        )
+    out = ranks.select("node", F.col("rank").alias("rank_micro"))
+    if persisted is not None:
+        persisted.append(edges)
+        return out
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out

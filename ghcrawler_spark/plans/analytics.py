@@ -26,6 +26,7 @@ from ghcrawler_spark.functions import vectors as V
 from ghcrawler_spark.hashing import stable_long_hash, stable_long_hash_sql
 from ghcrawler_spark.operators import dedup as D
 from ghcrawler_spark.operators import frontier_ops as FO
+from ghcrawler_spark.operators import graph as G
 from ghcrawler_spark.plans import policy as P
 from ghcrawler_spark.operators import similarity as S
 
@@ -2234,6 +2235,98 @@ def t6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         F.round(F.lit(10000.0) / F.col("keep_bp"), 6).alias("mix_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G1 — link-graph crawl prioritization (integer fixed-point PageRank).
+# The dynamic form of the reference's static tier weights
+# (lib/queueSet.js:46-65): rank hosts by the discovered link graph, then
+# feed rank_micro into frontier priority. Integer micro-unit arithmetic
+# makes the recurrence bit-exact across engines (and across crawl resumes).
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMP = 85
+_PR_SCALE = 10**12
+_PR_HOSTS = 40
+
+
+def _pagerank_sql(
+    n_iter: int = _PR_ITERS, d: int = _PR_DAMP, scale: int = _PR_SCALE
+) -> str:
+    """DuckDB twin of ``graph.pagerank_fixed_point``: the iterations are
+    unrolled as CTEs (it1..itN), each one join+aggregate exactly mirroring
+    the Spark recurrence — all-integer, so partial-sum order cannot
+    diverge."""
+    edge_hash = stable_long_hash_sql("'edge:' || CAST(event_id AS VARCHAR)")
+    its = []
+    for k in range(1, n_iter + 1):
+        prev = f"it{k - 1}"
+        its.append(
+            f"""
+    it{k} AS (
+      SELECT nodes.node,
+             CAST((({100 - d}) * (({scale} // c.n) * c.n)) // (100 * c.n)
+               + (SELECT CAST(coalesce(sum((p.rank * {d}) // 100), 0) AS BIGINT)
+                    FROM {prev} p LEFT JOIN outdeg o ON p.node = o.node
+                   WHERE o.outdeg IS NULL) // c.n
+               + coalesce(infl.inflow, 0) AS BIGINT) AS rank
+      FROM nodes CROSS JOIN c
+      LEFT JOIN (SELECT e.dst AS node,
+                        CAST(sum((p.rank * {d}) // (100 * o.outdeg)) AS BIGINT)
+                          AS inflow
+                   FROM edges e
+                   JOIN {prev} p ON e.src = p.node
+                   JOIN outdeg o ON e.src = o.node
+                  GROUP BY e.dst) infl ON nodes.node = infl.node)"""
+        )
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT 'h' || CAST(user_id % {_PR_HOSTS} AS VARCHAR) AS src,
+               'h' || CAST({edge_hash} % {_PR_HOSTS} AS VARCHAR) AS dst
+        FROM events)
+      WHERE src <> dst),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    outdeg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+               FROM edges GROUP BY src),
+    it0 AS (SELECT node, CAST({scale} // c.n AS BIGINT) AS rank
+            FROM nodes CROSS JOIN c),{",".join(its)}
+    SELECT node AS host, rank AS rank_micro FROM it{n_iter}
+    """
+
+
+@register("g1_host_rank", _pagerank_sql())
+def g1_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph crawl priority: three fixed-point PageRank sweeps
+    over the link graph the crawl has discovered (synthesized here as
+    user→hash(event) host edges). Per iteration: one shuffle join on src +
+    one groupBy(dst); node count and dangling mass ride 1-row broadcast
+    frames — a single lazy plan, no driver collects, no global windows."""
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            F.concat(F.lit("h"), (F.col("user_id") % _PR_HOSTS).cast("string")).alias(
+                "src"
+            ),
+            F.concat(
+                F.lit("h"),
+                (
+                    stable_long_hash(
+                        F.concat(F.lit("edge:"), F.col("event_id").cast("string"))
+                    )
+                    % _PR_HOSTS
+                ).cast("string"),
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out = G.pagerank_fixed_point(
+        edges, n_iter=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    )
+    return out.select(F.col("node").alias("host"), "rank_micro")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

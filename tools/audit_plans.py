@@ -282,6 +282,34 @@ def main() -> int:
                        ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")),
                    "expect an equi-join on bucket"))
 
+    # g1: fixed-point pagerank — every iteration must be an equi-join +
+    # aggregate; the only nested-loop joins allowed are the 1-row
+    # consts/dangling broadcasts (a CartesianProduct would mean the node
+    # count or dangling mass is being recomputed per-row the wrong way)
+    from ghcrawler_spark.operators import graph as G
+
+    _pers: list = []
+    _ev = spark.read.parquet(f"{SF}/events.parquet")
+    _edges = (
+        _ev.select(
+            (F.col("user_id") % 40).cast("string").alias("src"),
+            (F.col("event_id") % 37).cast("string").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    p = explain_str(G.pagerank_fixed_point(_edges, persisted=_pers))
+    plans["g1_host_rank"] = p
+    checks.append(("g1 pagerank: equi-join iterations, 1-row broadcasts only (no cartesian)",
+                   "CartesianProduct" not in p
+                   and "BroadcastNestedLoopJoin" in p
+                   and any(j in p for j in
+                           ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")),
+                   "cross joins must be 1-row broadcast nested loops; "
+                   "rank⋈edges must be an equi-join"))
+    for _df in _pers:
+        _df.unpersist()
+
     # report
     failed = 0
     lines = ["# PLANS — physical-plan audit (tools/audit_plans.py)", ""]
