@@ -151,6 +151,33 @@ def main() -> None:
         [], "image_id string, bytes binary, ref_bytes binary, w int, h int, "
             "fmt string, caption string, phash long, url string"
     )
+    # the query lane leaves cached/checkpointed blocks resident (measured
+    # +40% on the engine walls from the GC pressure alone): drop them and
+    # hint a full GC so the engine lane starts from a clean heap, then pay
+    # the round plan's one-time JIT cost on a tiny untimed engine (same
+    # steady-state methodology as the query warm-up above).
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    _warm_root = tempfile.mkdtemp(prefix="bench_engine_warm_")
+    try:
+        _warm_eng = CrawlEngine(
+            spark,
+            SnapshotStore(_warm_root),
+            empty_corpus,
+            links.limit(0),
+            CrawlConfig(
+                round_capacity=10_000, bucket_capacity=128, bucket_fill=64,
+                inject_failures=False, shuffle_partitions=8,
+            ),
+        )
+        _warm_eng.seed(universe.limit(20_000))
+        _warm_eng.run_round()
+    finally:
+        shutil.rmtree(_warm_root, ignore_errors=True)
+
     root = tempfile.mkdtemp(prefix="bench_engine_")
     try:
         eng = CrawlEngine(
@@ -163,6 +190,12 @@ def main() -> None:
                 bucket_capacity=128,
                 bucket_fill=64,
                 inject_failures=False,
+                # a 250k-capacity round shuffles ≤250k-row frames: 8
+                # partitions of ~31k rows, not 32 of ~8k — at this volume
+                # task-launch latency dominates and AQE's coalescing (which
+                # makes this call at real scale) still pays one scheduled
+                # job per query stage
+                shuffle_partitions=8,
             ),
         )
         eng.seed(universe)

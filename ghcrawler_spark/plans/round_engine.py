@@ -220,6 +220,15 @@ class CrawlConfig:
     # unbounded — O(total crawled) — and are only ever scanned map-side, never
     # exchanged). Above it, fall back to exact shuffle anti-joins.
     dedup_broadcast_max: int = 4_000_000
+    # round-scoped spark.sql.shuffle.partitions override (None = leave the
+    # session value). A round's working set is bounded by round_capacity,
+    # so its shuffles want partitions sized to THAT volume, not the
+    # session-wide default tuned for the big analytics tables: at toy scale
+    # 32 partitions of <10k rows just multiplies task-launch latency
+    # (~40% of round wall on this host), while at 100 TB AQE's partition
+    # coalescing makes the same downsizing call automatically. Saved and
+    # restored around each round, so a mixed workload session is unaffected.
+    shuffle_partitions: int | None = None
 
 
 def _path_col(url):
@@ -242,17 +251,35 @@ _TRACE = os.environ.get("SPARK_GRAFT_TRACE", "") == "1"
 
 
 class _Tracer:
-    """Phase stopwatch, printed when SPARK_GRAFT_TRACE=1 (perf forensics)."""
+    """Phase stopwatch + Spark-job counter, printed when SPARK_GRAFT_TRACE=1
+    (perf forensics: on this host each job costs ~0.3-0.5s of fixed
+    scheduling latency, so phase job counts ARE the toy-scale cost model)."""
 
-    def __init__(self, label: str):
+    def __init__(self, label: str, spark: SparkSession | None = None):
         self.label = label
         self.t = time.perf_counter()
+        self._st = (
+            spark.sparkContext.statusTracker() if _TRACE and spark is not None
+            else None
+        )
+        self._j = self._jobs()
+
+    def _jobs(self) -> int:
+        if self._st is None:
+            return 0
+        return max(self._st.getJobIdsForGroup() or [0])
 
     def mark(self, phase: str) -> None:
         if _TRACE:
             now = time.perf_counter()
-            print(f"[trace {self.label}] {phase}: {now - self.t:.2f}s", flush=True)
+            j = self._jobs()
+            print(
+                f"[trace {self.label}] {phase}: {now - self.t:.2f}s"
+                f" ({j - self._j} jobs)",
+                flush=True,
+            )
             self.t = now
+            self._j = j
 
 
 def _free_checkpoint(df: DataFrame) -> None:
@@ -855,6 +882,18 @@ class CrawlEngine:
     # -- one round -------------------------------------------------------------
 
     def run_round(self) -> bool:
+        if self.cfg.shuffle_partitions is None:
+            return self._run_round_inner()
+        prev_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(self.cfg.shuffle_partitions)
+        )
+        try:
+            return self._run_round_inner()
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    def _run_round_inner(self) -> bool:
         cfg = self.cfg
         manifest = self.store.read_manifest()
         version = manifest["current"]
@@ -868,7 +907,7 @@ class CrawlEngine:
         if manifest.get("frontier_size", 1) == 0 and not pending_files:
             return False
         persisted: list = []  # frames to unpersist once the round commits
-        tr = _Tracer(f"round {rnd}")
+        tr = _Tracer(f"round {rnd}", self.spark)
         bases = self._bases(manifest)
         frontier0 = self._read_frontier(version, bases)
         # 0. event ingest: absorb staged webhook batches into the events tier

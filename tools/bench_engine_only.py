@@ -4,6 +4,11 @@ engine regressions from host-era noise (pair with tools/host_canary.py).
 
 Usage: python tools/bench_engine_only.py [n_urls n_hosts capacity rounds]
 Prints one JSON line with wall seconds, pops, urls/sec, and per-round walls.
+
+SPARK_GRAFT_NO_WARM=1 skips the untimed warm-up round (a tiny 20k-URL
+engine run that pays the round plan's one-time JIT/classload cost before
+the timed region — same steady-state methodology as bench.py's query lane;
+without it the first timed round measures ~10s of interpreter warm-up).
 """
 
 from __future__ import annotations
@@ -18,23 +23,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
-    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
-    capacity = int(sys.argv[3]) if len(sys.argv) > 3 else 250_000
-    n_rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
+def _run_engine(spark, n_urls: int, n_hosts: int, capacity: int, n_rounds: int):
+    """Seed a synthetic n_urls/n_hosts frontier and run n_rounds full engine
+    rounds in a throwaway store; returns (wall_sec, per_round_sec, popped)."""
     from pyspark.sql import functions as F
 
     from ghcrawler_spark.plans.round_engine import CrawlConfig, CrawlEngine
-    from ghcrawler_spark.session import build_session
     from ghcrawler_spark.sources.snapshot import SnapshotStore
-
-    spark = build_session(
-        "engine-only-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
-    )
-    spark.sparkContext.setLogLevel("ERROR")
 
     universe = spark.range(0, n_urls).select(
         F.concat(
@@ -84,6 +79,12 @@ def main() -> None:
                 bucket_capacity=128,
                 bucket_fill=64,
                 inject_failures=False,
+                # mirror bench.py's engine lane: round-scoped shuffle
+                # partitions sized to the round volume (SPARK_GRAFT_ENGINE_SP
+                # overrides; 0 = leave the session value)
+                shuffle_partitions=(
+                    int(os.environ.get("SPARK_GRAFT_ENGINE_SP", "8")) or None
+                ),
             ),
         )
         eng.seed(universe)
@@ -97,6 +98,29 @@ def main() -> None:
         popped = SnapshotStore(root).read_manifest()["total_popped"]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    return wall, per_round, popped
+
+
+def main() -> None:
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    capacity = int(sys.argv[3]) if len(sys.argv) > 3 else 250_000
+    n_rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from ghcrawler_spark.session import build_session
+
+    spark = build_session(
+        "engine-only-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.environ.get("SPARK_GRAFT_NO_WARM"):
+        _run_engine(spark, 20_000, 200, 10_000, 1)
+
+    wall, per_round, popped = _run_engine(
+        spark, n_urls, n_hosts, capacity, n_rounds
+    )
     print(
         json.dumps(
             {
