@@ -1659,42 +1659,37 @@ class CrawlEngine:
         # over the rows (which would sort the whole enqueue batch in ONE
         # task) and no driver collect of row-level data. _ord is a parent
         # pop_seq (≤ round_capacity distinct values): prefix offsets are a
-        # running sum over the tiny (_grp, _ord) COUNTS table, the only
-        # collect is the 2-row per-group totals (which also yields
-        # n_children), and the final rank is a window per (_grp, _ord)
-        # whose sort is bounded by a single parent's fan-out.
+        # running sum over the tiny (_grp, _ord) COUNTS table, the requeue
+        # group's base offset (= children total) rides a broadcast 1-row
+        # aggregate instead of a driver collect, and the final rank is a
+        # window per (_grp, _ord) whose sort is bounded by a single parent's
+        # fan-out. The only collect here is the 2-row per-group totals that
+        # ALSO fills new_rows' cache blocks (one job, two purposes).
         union_rows = child_rows.unionByName(rq_rows).persist()
         persisted.append(union_rows)
-        counts = (
-            union_rows.groupBy("_grp", "_ord")
-            .agg(
-                F.count(F.lit(1)).alias("_cnt"),
-                F.sum(F.col("_ndup") - 1).alias("_att"),
-            )
-            .persist()
-        )
-        persisted.append(counts)
-        grp_rows = (
-            counts.groupBy("_grp")
-            .agg(F.sum("_cnt").alias("t"), F.sum("_att").alias("att"))
-            .collect()
-        )
-        grp_totals = {r["_grp"]: r["t"] for r in grp_rows}
-        n_children = int(grp_totals.get(0, 0))
-        # J4 attenuation drops this round: visible candidate edges collapsed
-        # into kept children (occurrences - 1 per enqueued dst)
-        n_attenuated = int(
-            next((r["att"] for r in grp_rows if r["_grp"] == 0), 0) or 0
+        counts = union_rows.groupBy("_grp", "_ord").agg(
+            F.count(F.lit(1)).alias("_cnt")
         )
         w_off = (
             Window.partitionBy("_grp")
             .orderBy("_ord")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        offs = counts.withColumn(
-            "_off",
-            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
-            + F.when(F.col("_grp") == 1, F.lit(n_children)).otherwise(F.lit(0)),
+        g0_total = counts.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_grp") == 0, F.col("_cnt"))), F.lit(0)
+            ).alias("_g0")
+        )
+        offs = (
+            counts.withColumn(
+                "_poff", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+            )
+            .crossJoin(F.broadcast(g0_total))
+            .withColumn(
+                "_off",
+                F.col("_poff")
+                + F.when(F.col("_grp") == 1, F.col("_g0")).otherwise(F.lit(0)),
+            )
         )
         w_enq = Window.partitionBy("_grp", "_ord").orderBy("url")
         new_rows = (
@@ -1710,9 +1705,25 @@ class CrawlEngine:
         # MATERIALIZE before the concurrent write jobs: several of them scan
         # new_rows, and a first-touch race on an unfilled cached frame from
         # parallel jobs starves the few local executor slots (tasks block on
-        # the cache-fill lock while holding slots). One cheap count over the
-        # already-cached inputs fills the blocks once, serially.
-        new_rows.count()
+        # the cache-fill lock while holding slots). One aggregation over the
+        # already-cached inputs fills the blocks once, serially — and its
+        # 2-row result IS the per-group totals (children count + J4
+        # attenuation drops: visible candidate edges collapsed into kept
+        # children, occurrences - 1 per enqueued dst), so the former
+        # separate totals collect is gone.
+        grp_rows = (
+            new_rows.groupBy("_grp")
+            .agg(
+                F.count(F.lit(1)).alias("t"),
+                F.sum(F.col("_ndup") - 1).alias("att"),
+            )
+            .collect()
+        )
+        grp_totals = {r["_grp"]: r["t"] for r in grp_rows}
+        n_children = int(grp_totals.get(0, 0))
+        n_attenuated = int(
+            next((r["att"] for r in grp_rows if r["_grp"] == 0), 0) or 0
+        )
         tr.mark("children+enqueue (count)")
         new_rows_clean = new_rows.select(
             "url",
