@@ -350,10 +350,17 @@ def main() -> None:
         "sf": sf,
         "frontier_rows": n_frontier,
         "frontier_rows_per_sec": fr_per_sec,
-        "engine_pops": popped,
-        "engine_urls_per_sec": engine_urls_per_sec,
-        "engine_pops_capacity_bound": cap_popped,
-        "engine_urls_per_sec_capacity_bound": cap_urls_per_sec,
+        # HEADLINE engine metric (round-5 promotion, VERDICT r4 task 7): the
+        # capacity-bound lane — rounds large enough (1M-capacity) to
+        # amortize this host's fixed per-job scheduling latency — is the
+        # number that projects to 10^10-URL rounds (BENCH.md
+        # "Fixed-overhead amortization" measures the floor directly). The
+        # toy lane (250k-capacity, 3 rounds incl. snapshot I/O) is kept as
+        # the latency-floor diagnostic.
+        "engine_pops": cap_popped,
+        "engine_urls_per_sec": cap_urls_per_sec,
+        "engine_pops_toy": popped,
+        "engine_urls_per_sec_toy": engine_urls_per_sec,
         "images_validated": n_images,
         "images_per_sec": images_per_sec,
         "cpus": int(cpus),

@@ -95,17 +95,28 @@ def cuckoo_buckets(expected_keys: int) -> int:
     return nb
 
 
-def _insert_batch(table: np.ndarray, keys: np.ndarray, nb: int) -> int:
+class CuckooShardOverflow(ValueError):
+    """A shard's fingerprint table could not place every key (load ≈ 1.0).
+    The engine catches this and falls through to the amortized full-rebuild
+    branch (round_engine resize) instead of aborting the round — a skewed
+    shard may saturate before the GLOBAL total-keys trigger fires."""
+
+
+def _insert_batch(table: np.ndarray, keys: np.ndarray, nb: int) -> tuple[int, int]:
     """Insert keys into a (nb*SLOTS,) uint16 slot array in place. Returns
-    the number of keys that could NOT be placed (0 unless load is extreme —
-    callers treat >0 as overflow and resize). Idempotent for re-inserted
-    keys (a fingerprint already present in either home bucket is skipped),
-    matching the seen-set's set semantics."""
+    ``(failed, placed)``: how many keys could NOT be placed (0 unless load
+    is extreme — callers treat >0 as overflow and resize) and how many NEW
+    fingerprints were actually written. Idempotent for re-inserted keys (a
+    fingerprint already present in either home bucket is skipped — set
+    semantics), so ``placed`` is the exact live-count delta: recrawl-heavy
+    batches (freshness 'always') don't inflate n_keys and trigger premature
+    rebuilds."""
     if len(keys) == 0:
-        return 0
+        return 0, 0
     fps, b1s, b2s = _fp_and_buckets(keys, nb)
     view = table.reshape(nb, SLOTS)
     failed = 0
+    placed_n = 0
     # deterministic eviction cursor (no RNG: replay-exact rebuilds)
     cursor = 0
     for fp, b1, b2 in zip(fps.tolist(), b1s.tolist(), b2s.tolist()):
@@ -121,6 +132,7 @@ def _insert_batch(table: np.ndarray, keys: np.ndarray, nb: int) -> int:
                 placed = True
                 break
         if placed:
+            placed_n += 1
             continue
         # evict: displace a resident fingerprint and re-home it
         b, cur = b1, fp
@@ -142,11 +154,13 @@ def _insert_batch(table: np.ndarray, keys: np.ndarray, nb: int) -> int:
                 row[empty[0]] = cur
                 placed = True
                 break
-        if not placed:
+        if placed:
+            placed_n += 1
+        else:
             # put the orphan back where the chain started is impossible
             # (slots all full) — count the failure; caller resizes
             failed += 1
-    return failed
+    return failed, placed_n
 
 
 def _probe_batch(table: np.ndarray, keys: np.ndarray, nb: int) -> np.ndarray:
@@ -199,9 +213,9 @@ def build_cuckoo_shard_table(
         # order is not stable — sorting keeps rebuilt tables byte-identical
         keys = np.sort(pdf["_key"].to_numpy(dtype=np.int64))
         table = _empty_table(n_buckets)
-        failed = _insert_batch(table, keys, n_buckets)
+        failed, placed = _insert_batch(table, keys, n_buckets)
         if failed:
-            raise ValueError(
+            raise CuckooShardOverflow(
                 f"cuckoo shard over capacity: {failed} of {len(keys)} keys "
                 f"unplaceable at {n_buckets} buckets — resize before building"
             )
@@ -209,7 +223,9 @@ def build_cuckoo_shard_table(
             {
                 "shard_id": [int(pdf["_shard"].iloc[0])],
                 "table_bytes": [table.tobytes()],
-                "n_keys": [len(keys)],
+                # placed, not len(keys): duplicate hashes in the build batch
+                # are skipped (set semantics) — n_keys is the LIVE count
+                "n_keys": [placed],
                 "n_buckets": [n_buckets],
                 "slots": [SLOTS],
             }
@@ -309,13 +325,15 @@ class CuckooShardTable:
                 table = _empty_table(nb)
                 n_old = 0
             if op == "insert":
-                failed = _insert_batch(table, keys, nb)
+                failed, placed = _insert_batch(table, keys, nb)
                 if failed:
-                    raise ValueError(
+                    raise CuckooShardOverflow(
                         f"cuckoo shard {sid} over capacity: {failed} keys "
-                        "unplaceable — resize (overflowed() should have fired)"
+                        "unplaceable — caller must rebuild at a larger size"
                     )
-                n_new = n_old + len(keys)
+                # exact live count: _insert_batch skips already-present
+                # fingerprints, so recrawled keys never inflate n_keys
+                n_new = n_old + placed
             else:
                 removed = _delete_batch(table, keys, nb)
                 n_new = max(0, n_old - removed)

@@ -255,26 +255,26 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Verify ONLY the LSH candidates, never an all-pairs shingle self-join.
-    # Broadcast direction is always small-side: cand probes the cached sigs
-    # (inner join cuts the corpus to candidate id_a docs), and that small
-    # annotated pair frame is broadcast back against sigs for the id_b
-    # arrays — the big cached frame never exchanges.
-    half = F.broadcast(cand).join(
-        sigs.select(
-            F.col("doc").alias("id_a"),
-            F.col("hs").alias("hs_a"),
-            F.col("n_sh").alias("n_a"),
-        ),
-        "id_a",
-    )
-    pairs = F.broadcast(half).join(
-        sigs.select(
-            F.col("doc").alias("id_b"),
-            F.col("hs").alias("hs_b"),
-            F.col("n_sh").alias("n_b"),
-        ),
-        "id_b",
-    )
+    # Broadcast carries BARE ID PAIRS only (16-byte rows): each half is a
+    # map-side broadcast join against the cached sigs (the corpus frame
+    # never exchanges), and the two candidate-bounded halves meet in one
+    # equi-join on id_b — the shingle arrays travel executor-to-executor
+    # ∝ candidate count, never through a driver broadcast (whose bytes would
+    # otherwise be O(candidates × shingles-per-doc), unbounded by any gate).
+    cand = cand.persist()  # two broadcast builds read it; computed once
+    if persisted is not None:
+        persisted.append(cand)
+    a_half = sigs.select(
+        F.col("doc").alias("id_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n_sh").alias("n_a"),
+    ).join(F.broadcast(cand), "id_a")
+    b_half = sigs.select(
+        F.col("doc").alias("id_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n_sh").alias("n_b"),
+    ).join(F.broadcast(cand.select("id_b")), "id_b", "left_semi")
+    pairs = a_half.hint("shuffle_hash").join(b_half, "id_b")
     out = (
         pairs.withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
@@ -305,6 +305,12 @@ def minhash_lsh_pairs(
     # Session conf is restored before returning; at real corpus scale the
     # caller-managed `persisted` path leaves AQE on (skew/coalesce matter
     # when the band-bucket shuffle is TBs).
+    #
+    # CONCURRENCY NOTE: these overrides are session-global for the duration
+    # of the materialization — a query racing on the SAME SparkSession from
+    # another thread would observe them mid-flight. The one-shot path is for
+    # single-threaded callers (bench/oracle queries); concurrent pipelines
+    # must use the `persisted` path, which never touches session conf.
     spark = df.sparkSession
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -316,6 +322,7 @@ def minhash_lsh_pairs(
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     sigs.unpersist()
+    cand.unpersist()
     return out
 
 
@@ -357,23 +364,23 @@ def minhash_lsh_incremental(
         bands_b.join(F.broadcast(bands_d), ["band", "bkey"])
         .select(F.col("doc").alias("dup_of"), "new_id")
         .distinct()
+        .persist()  # two broadcast builds below read it; computed once
     )
-    half = F.broadcast(cand).join(
-        sig_d.select(
-            F.col("doc").alias("new_id"),
-            F.col("hs").alias("hs_n"),
-            F.col("n_sh").alias("n_n"),
-        ),
-        "new_id",
-    )
-    pairs = F.broadcast(half).join(
-        sig_b.select(
-            F.col("doc").alias("dup_of"),
-            F.col("hs").alias("hs_b"),
-            F.col("n_sh").alias("n_b"),
-        ),
-        "dup_of",
-    )
+    # same verify shape as minhash_lsh_pairs: broadcast only the BARE id
+    # pairs; both halves are map-side joins against the signature frames
+    # (the base corpus never exchanges as a whole — only its candidate rows,
+    # bounded by LSH collisions, carry arrays into the final equi-join)
+    d_half = sig_d.select(
+        F.col("doc").alias("new_id"),
+        F.col("hs").alias("hs_n"),
+        F.col("n_sh").alias("n_n"),
+    ).join(F.broadcast(cand), "new_id")
+    b_half = sig_b.select(
+        F.col("doc").alias("dup_of"),
+        F.col("hs").alias("hs_b"),
+        F.col("n_sh").alias("n_b"),
+    ).join(F.broadcast(cand.select("dup_of")), "dup_of", "left_semi")
+    pairs = d_half.hint("shuffle_hash").join(b_half, "dup_of")
     verified = (
         pairs.withColumn("n_inter", F.size(F.array_intersect("hs_n", "hs_b")))
         .withColumn(
@@ -396,10 +403,11 @@ def minhash_lsh_incremental(
     )
     if not materialize:
         # lazy variant for plan audits (tools/audit_plans.py) — caller owns
-        # the sig_d cache lifetime
+        # the sig_d/cand cache lifetimes
         return out
     out = out.localCheckpoint(eager=True)
     sig_d.unpersist()
+    cand.unpersist()
     return out
 
 

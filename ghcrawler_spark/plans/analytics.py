@@ -555,6 +555,37 @@ def s6_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s7_tombstone_visibility",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS live_event_id
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def s7_tombstone_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone visibility (ROUND SPEC v5; lib/crawler.js:375,433-434
+    deletedAt): merge-on-read with DELETES — 'error' events stand in for
+    deletion directives, and a key is visible iff its LATEST row is not a
+    deletion (deletion wins ties by construction of the strict ordering).
+    This is the store-side semantics behind the engine's `tombstones`
+    table: last-writer-wins upsert where the last writer may be a delete."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select("user_id", F.col("event_id").alias("live_event_id"))
+    )
+
+
+@register(
     "x1_json_extract",
     """
     SELECT event_type,

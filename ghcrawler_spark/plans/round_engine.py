@@ -116,8 +116,10 @@ DEADLETTER_SCHEMA = (
 EXCLUDED_SCHEMA = "url string, round int"
 METRICS_SCHEMA = (
     "round int, selected long, children long, requeued long, deadlettered long, "
-    "frontier_after long, ingested long, attenuated long, deferred long"
+    "frontier_after long, ingested long, attenuated long, deferred long, "
+    "bounced long"
 )
+TOMBSTONE_SCHEMA = "url string, round int"
 LINEAGE_SCHEMA = (
     "round int, tier string, host_bucket int, n_popped long, n_processed long, "
     "n_traversed long, n_requeued long, n_missing long, n_deferred long"
@@ -228,7 +230,32 @@ class CrawlConfig:
     # (~40% of round wall on this host), while at 100 TB AQE's partition
     # coalescing makes the same downsizing call automatically. Saved and
     # restored around each round, so a mixed workload session is unaffected.
+    # NOTE (single-writer invariant, module doc): the override is session-
+    # global while a round runs — the engine assumes no concurrent queries
+    # race on the same SparkSession mid-round.
     shuffle_partitions: int | None = None
+    # ROUND SPEC v5 (simulator.py module doc):
+    # excludeNotFound (lib/crawler.js:528-533): Missing rows straight to
+    # deadletter with reason 'excludeNotFound' instead of the attempt loop
+    exclude_not_found: bool = False
+    # one elevated retry for permanent-class failures, then deadletter
+    # 'Bailed' (githubFetcher.js:67-72)
+    bailed_retry: bool = False
+    # deletion-event tombstone flow (lib/crawler.js:375,433-434;
+    # githubProcessor.js:599-724 incl. cacheKey-addressed deletes)
+    tombstones: bool = False
+    # v5: graph-derived crawl priority — the dynamic (OPIC/PageRank) form of
+    # the static tier weights (queueSet.js:46-65). Integer fixed-point
+    # PageRank (operators/graph.py; bit-exact vs the simulator twin) over
+    # the link table feeds a `_prio` column consumed by the politeness
+    # top-k: each host's budget prefix is ordered (rank DESC, enqueue_seq)
+    # instead of pure FIFO. The input graph is static, so the rank table is
+    # computed once per engine (no collects — the result stays executor-
+    # resident, pre-partitioned on url for the per-round equi-join); a live
+    # crawl with growing link discovery would recompute every k rounds over
+    # the accumulated links table.
+    rank_priority: bool = False
+    rank_iters: int = 3
 
 
 def _path_col(url):
@@ -339,6 +366,28 @@ class CrawlEngine:
         # degrades to the plain scan, never breaks.)
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         self.links = links.repartition(n_part, "src_url").persist()
+        # v5 rank_priority: one integer fixed-point PageRank over the static
+        # link graph (materialized via localCheckpoint — no driver collect),
+        # kept executor-resident and hashed on url so the per-round
+        # priority join reuses the partitioning
+        self._url_rank = None
+        if self.cfg.rank_priority:
+            from ghcrawler_spark.operators.graph import pagerank_fixed_point
+
+            ranks = pagerank_fixed_point(
+                links.select(
+                    F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+                ).distinct(),
+                n_iter=self.cfg.rank_iters,
+            )
+            self._url_rank = (
+                ranks.select(
+                    F.col("node").alias("url"),
+                    F.col("rank_micro").alias("_prio"),
+                )
+                .repartition(n_part, "url")
+                .persist()
+            )
         # Bloom shard blobs are cached on the engine (keyed by the committed
         # version they reflect) and persisted to the store every round, so a
         # resumed run reloads them instead of rescanning the whole seen set
@@ -485,6 +534,7 @@ class CrawlEngine:
         files: list[str],
         frontier: DataFrame,
         persisted: list,
+        version: int = 0,
     ):
         """Absorb staged webhook events into the 'events' tier (weight 10,
         crawlerFactory.js:86,680-685): malformed → deadletter (F3), robots →
@@ -492,10 +542,17 @@ class CrawlEngine:
         (freshness 'always' means the seen set does NOT block), payload rows
         keep their inline document (lib/crawler.js:348-358).
 
+        With cfg.tombstones, events carrying action 'deleted' are DELETION
+        DIRECTIVES (ROUND SPEC v5; githubProcessor.js:599-724): they never
+        enqueue — they produce (url, round) tombstone rows, resolving
+        cacheKey-addressed deletes (no url, payload_id names the doc id)
+        against the docs log; unresolvable directives are dropped, url-less
+        key-less ones deadletter as 'malformed'.
+
         Returns (ingested_df|None, n_ingested, deadletter_rows|None,
-        excluded_rows|None)."""
+        excluded_rows|None, tomb_rows|None, n_tomb)."""
         if not files:
-            return None, 0, None, None
+            return None, 0, None, None, None, 0
         # mergeSchema: a staging dir can mix pre-upgrade batches (no
         # `verified` column) with new ones — a single-footer read would
         # either drop the column or read legacy rows as null; null-verified
@@ -527,6 +584,16 @@ class CrawlEngine:
                 ),
                 F.lit(True),
             ).alias("verified"),
+            # v5 streaming front-end unification: the event-source limiter
+            # (attach_event_stream rate_per_sec) stages over-rate rows with
+            # throttled=true; they enter the LOW-priority 'later' tier
+            # instead of 'events' (lib/crawler.js:441-459 requeue shape)
+            F.coalesce(
+                (
+                    F.col("throttled") if "throttled" in have else F.lit(False)
+                ).cast("boolean"),
+                F.lit(False),
+            ).alias("throttled"),
         )
 
         def _dead_rows(df: DataFrame, reason: str) -> DataFrame:
@@ -543,6 +610,54 @@ class CrawlEngine:
         # parsing): staged rows the producer could not verify → deadletter
         ev_dead = _dead_rows(ev.filter(~F.col("verified")), "unverified")
         ev = ev.filter(F.col("verified")).drop("verified")
+        tomb_rows, n_tomb = None, 0
+        if self.cfg.tombstones:
+            is_del = F.coalesce(F.col("action") == "deleted", F.lit(False))
+            dels = ev.filter(is_del)
+            ev = ev.filter(~is_del)
+            url_ok = (
+                F.col("url").isNotNull()
+                & (F.col("url") != "")
+                & F.col("url").rlike("^https?://")
+            )
+            keyed = ~url_ok & F.col("payload_id").isNotNull()
+            # cacheKey-addressed deletes resolve via the docs log: the doc
+            # with that image_id at the max (round, url) — the engine twin of
+            # the simulator's latest-doc scan. The docs read is gated on the
+            # deletion batch actually containing keyed rows (one count over
+            # the tiny staged frame), so url-addressed deletions never scan
+            # the docs history.
+            by_url = dels.filter(url_ok).select("url")
+            dels_k = dels.filter(keyed).select(
+                F.col("payload_id").alias("image_id")
+            )
+            resolved = None
+            if dels_k.limit(1).count() > 0:
+                try:
+                    docs_log = self.store.read_appends(
+                        self.spark, "docs", version, merge_schema=True
+                    )
+                    latest = docs_log.groupBy("image_id").agg(
+                        F.max(F.struct("round", "url")).alias("_m")
+                    )
+                    resolved = dels_k.join(latest, "image_id").select(
+                        F.col("_m.url").alias("url")
+                    )
+                except FileNotFoundError:
+                    resolved = None
+            tombs = by_url if resolved is None else by_url.unionByName(resolved)
+            tomb_rows = (
+                tombs.distinct()
+                .select("url", F.lit(rnd).cast("int").alias("round"))
+                .persist()
+            )
+            persisted.append(tomb_rows)
+            n_tomb = tomb_rows.count()
+            if n_tomb == 0:
+                tomb_rows = None
+            ev_dead = ev_dead.unionByName(
+                _dead_rows(dels.filter(~url_ok & ~keyed), "malformed")
+            )
         bad = ev.filter(_malformed_cond())
         ev_dead = ev_dead.unionByName(_dead_rows(bad, "malformed"))
         ok = ev.filter(~_malformed_cond())
@@ -572,7 +687,9 @@ class CrawlEngine:
             .select(
                 "url",
                 "type",
-                F.lit("events").alias("tier"),
+                F.when(F.col("throttled"), "later")
+                .otherwise("events")
+                .alias("tier"),
                 "host",
                 (F.lit(next_seq) + F.col("_rank")).cast("long").alias("enqueue_seq"),
                 F.lit(0).cast("int").alias("attempt"),
@@ -587,7 +704,7 @@ class CrawlEngine:
             .persist()
         )
         persisted.append(ingested)
-        return ingested, ingested.count(), ev_dead, ev_excl
+        return ingested, ingested.count(), ev_dead, ev_excl, tomb_rows, n_tomb
 
     def current_frontier(self) -> DataFrame:
         """The live frontier view at the committed manifest version."""
@@ -911,9 +1028,12 @@ class CrawlEngine:
         bases = self._bases(manifest)
         frontier0 = self._read_frontier(version, bases)
         # 0. event ingest: absorb staged webhook batches into the events tier
-        # (weight 10) before selection — ROUND SPEC v2 step 0
-        ingested, n_ingested, ev_dead, ev_excl = self._absorb_events(
-            rnd, next_seq, pending_files, frontier0, persisted
+        # (weight 10) before selection — ROUND SPEC v2 step 0 (v5: deletion
+        # directives split out as tombstone rows)
+        ingested, n_ingested, ev_dead, ev_excl, tomb_new, n_tomb = (
+            self._absorb_events(
+                rnd, next_seq, pending_files, frontier0, persisted, version
+            )
         )
         if ingested is not None:
             frontier0 = frontier0.unionByName(ingested)
@@ -993,6 +1113,15 @@ class CrawlEngine:
         # AFTER selection via a broadcast of the (enqueue_seq, pop_seq)
         # keys (bounded by round_capacity), so no wide row ever exchanges.
         sel_input = eligible.select("enqueue_seq", "url", "type", "tier", "host")
+        if self._url_rank is not None:
+            # v5 rank_priority: per-host politeness order becomes
+            # (rank DESC, enqueue_seq) — graph-important urls win the budget
+            sel_input = sel_input.join(self._url_rank, "url", "left").withColumn(
+                "_prio", F.coalesce(F.col("_prio"), F.lit(0))
+            )
+            polite_order = [F.col("_prio").desc(), F.col("enqueue_seq")]
+        else:
+            polite_order = [F.col("enqueue_seq")]
         budgeted = (
             sel_input.join(levels, "host")
             .filter(F.col("bench_until") < rnd)
@@ -1063,7 +1192,7 @@ class CrawlEngine:
                 F.broadcast(hot), budgeted.host == F.col("_hot_host"), "left"
             )
             cold = marked.filter(F.col("_hot_host").isNull()).drop("_hot_host")
-            w_pre = Window.partitionBy("host", "_salt").orderBy("enqueue_seq")
+            w_pre = Window.partitionBy("host", "_salt").orderBy(*polite_order)
             pruned_hot = (
                 marked.filter(F.col("_hot_host").isNotNull())
                 .drop("_hot_host")
@@ -1081,7 +1210,7 @@ class CrawlEngine:
             budgeted = cold.unionByName(pruned_hot)
         w_cum = (
             Window.partitionBy("host")
-            .orderBy("enqueue_seq")
+            .orderBy(*polite_order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         polite = (
@@ -1090,6 +1219,8 @@ class CrawlEngine:
             .drop("_cum", "level", "bench_until")
             .unionByName(under_rows)
         )
+        if self._url_rank is not None:
+            polite = polite.drop("_prio")  # priority only shapes the cut
         # 3b. token trait caps (tokenFactory.js:41-74) — frontier_ops.trait_cap:
         # unbudgeted traits skip the window entirely; budgeted traits get the
         # salted two-phase top-k (no one-task sort of the full polite set)
@@ -1159,6 +1290,35 @@ class CrawlEngine:
             fetched = fetched.withColumn(
                 "stored_round", F.lit(None).cast("int")
             ).withColumn("stored_version", F.lit(None).cast("int"))
+        # v5 tombstone lookup (lib/crawler.js:375): latest deletion round per
+        # url — gated on the manifest counter so a crawl that never saw a
+        # deletion pays nothing; the table is deletion-rate-sized (rare), so
+        # the per-round read is trivially bounded
+        tomb_total_prev = manifest.get("tombstones_total", 0)
+        if cfg.tombstones and (tomb_total_prev > 0 or tomb_new is not None):
+            try:
+                prev_t = self.store.read_appends(
+                    self.spark, "tombstones", version
+                )
+            except FileNotFoundError:
+                prev_t = self._empty(TOMBSTONE_SCHEMA)
+            all_t = (
+                prev_t if tomb_new is None else prev_t.unionByName(tomb_new)
+            )
+            tomb_lookup = all_t.groupBy("url").agg(
+                F.max("round").alias("tomb_round")
+            )
+            fetched = fetched.join(
+                tomb_lookup.select(
+                    F.col("url").alias("t_url"), "tomb_round"
+                ),
+                F.col("url") == F.col("t_url"),
+                "left",
+            ).drop("t_url")
+        else:
+            fetched = fetched.withColumn(
+                "tomb_round", F.lit(None).cast("int")
+            )
         url_h = stable_long_hash(F.col("url"))
         stored = F.col("stored_round").isNotNull()
         fsrc = fetch_source(F.col("policy_fetch"), F.col("type"), stored)
@@ -1185,11 +1345,26 @@ class CrawlEngine:
         # outcome taxonomy (crawler.js:509-519): transient throttle-class
         # failures log 'Throttled' (markRequeue('Throttled'),
         # githubFetcher.js:176-192), permanent-fail retries 'Requeued' —
-        # both re-enqueue identically (the requeue-class set below)
+        # both re-enqueue identically (the requeue-class set below).
+        # v5: a DELETED url (tombstone at least as new as the stored doc)
+        # short-circuits — non-origin sources to 'Deleted' (crawler.js:375),
+        # origin contacts to 'Missing' (gone at origin); both complete with
+        # no doc and no traversal (crawler.js:433-434; only a later payload
+        # event resurrects the url); under bailed_retry a
+        # permanent failure past its single elevated retry logs 'Bailed'
+        # (githubFetcher.js:67-72 markDead) and deadletters below.
+        deleted_now = F.col("tomb_round").isNotNull() & (
+            F.col("stored_round").isNull()
+            | (F.col("stored_round") <= F.col("tomb_round"))
+        )
+        bailed = F.lit(cfg.bailed_retry) & (F.col("attempt") >= 1)
         fetched = fetched.withColumn(
             "outcome",
             F.when(F.col("payload_id").isNotNull(), "Processed")
+            .when(deleted_now & (fsrc != "origin"), "Deleted")
+            .when(deleted_now, "Missing")  # gone at origin; no traversal
             .when(fails & throttle, "Throttled")
+            .when(fails & bailed, "Bailed")
             .when(fails, "Requeued")
             .when(fsrc == "skip", "Skipped")
             .when(F.col("type") != "image", "Traversed")
@@ -1497,18 +1672,42 @@ class CrawlEngine:
             bloom_prev = self._load_bloom(version, manifest, seen)
             bloom = bloom_prev.merged(newly_seen.select("url_hash"))
             tr.mark("bloom merge")
-            # overflow (FPR decay) check by MANIFEST ARITHMETIC — newly-seen
-            # rows this round = selected − requeued, already counted by the
-            # outcome histogram; md5-hashed keys shard uniformly, so the
-            # total-vs-total-capacity test matches the per-shard one without
-            # spending an aggregation job per round
-            prev_total = (manifest.get("bloom") or {}).get("total_keys", 0)
-            bloom_total = prev_total + max(0, n_selected - n_requeued)
+            overflow_forced = False
+            if isinstance(bloom, CuckooShardTable):
+                # EXACT live count: total_keys() materializes the merge
+                # cogroup once (filling the persisted shard cache the probe
+                # and blob write reuse) and sums per-shard n_keys, which
+                # _insert_batch keeps exact under set semantics — so
+                # recrawl-heavy (freshness 'always') rounds never inflate the
+                # counter into premature rebuilds. A SKEWED shard that
+                # saturates before the global trigger fires surfaces here as
+                # CuckooShardOverflow (from the executor, wrapped by Spark):
+                # treat it as the overflow signal and fall through to the
+                # same amortized rebuild instead of aborting the round.
+                try:
+                    bloom_total = bloom.total_keys()
+                except Exception as e:  # PythonException wraps the raise
+                    if "over capacity" not in str(e):
+                        raise
+                    bloom.destroy()
+                    bloom = bloom_prev  # rebuild reads seen_next below
+                    bloom_total = 0
+                    overflow_forced = True
+            else:
+                # Bloom: overflow (FPR decay) check by MANIFEST ARITHMETIC —
+                # newly-seen rows this round = selected − requeued, already
+                # counted by the outcome histogram; md5-hashed keys shard
+                # uniformly, so the total-vs-total-capacity test matches the
+                # per-shard one without an aggregation job per round (Bloom
+                # degrades gracefully, so an over-estimate only rebuilds a
+                # little early; cuckoo above needs the exact count)
+                prev_total = (manifest.get("bloom") or {}).get("total_keys", 0)
+                bloom_total = prev_total + max(0, n_selected - n_requeued)
             # cuckoo fires earlier (1.6x = ~0.8 load): unlike Bloom's
             # graceful FPR decay, cuckoo INSERTS start failing near full
             # load, so the resize must land before the table saturates
             _headroom = 1.6 if isinstance(bloom, CuckooShardTable) else 2.0
-            if bloom_total > _headroom * bloom.capacity_per_shard * max(
+            if overflow_forced or bloom_total > _headroom * bloom.capacity_per_shard * max(
                 1, bloom.num_shards
             ):
                 # amortized resize: full rebuild at 4x TOTAL capacity
@@ -1575,68 +1774,94 @@ class CrawlEngine:
         ).drop("url_hash").unionByName(always_kids)
         # in-flight dedup (J5): a child already sitting in the frontier (or
         # re-enqueued this round) must not enqueue twice. The frontier is
-        # unbounded, so the exact url anti-join must never exchange it:
+        # unbounded, so the exact url check must never exchange it:
         # prefilter the in-flight urls MAP-SIDE against the broadcast
         # candidate hash set (a collision only inflates the hit set), then
-        # anti-join the candidates against the tiny broadcast hit set by
-        # exact url equality. Fallback for an over-sized candidate batch is
-        # the plain shuffle anti-join.
+        # LEFT-join the candidates against the tiny broadcast hit set by
+        # exact url equality — hits are MARKED (_bounced), not dropped, so
+        # the per-round `bounced` metric (redisRequestTracker.js:27 tracker-
+        # bounce telemetry) rides the same enqueue counts job as everything
+        # else (zero extra actions). Fallback for an over-sized candidate
+        # batch is the plain shuffle left join.
         inflight_urls = remaining.select("url").unionByName(
             fetched.filter(F.col("outcome").isin(*REQUEUE_CLASS)).select("url")
         )
         if cand_broadcastable:
-            inflight_hits = inflight_urls.join(
-                F.broadcast(uniq.select("url_hash")),
-                stable_long_hash(F.col("url")) == F.col("url_hash"),
-                "left_semi",
+            inflight_hits = (
+                inflight_urls.join(
+                    F.broadcast(uniq.select("url_hash")),
+                    stable_long_hash(F.col("url")) == F.col("url_hash"),
+                    "left_semi",
+                )
+                .distinct()
+                .withColumn("_bounced", F.lit(True))
             )
-            fresh = unseen_children.join(
-                F.broadcast(inflight_hits), "url", "left_anti"
+            marked = unseen_children.join(
+                F.broadcast(inflight_hits), "url", "left"
             )
         else:
-            fresh = unseen_children.join(inflight_urls, "url", "left_anti")
+            marked = unseen_children.join(
+                inflight_urls.distinct().withColumn("_bounced", F.lit(True)),
+                "url",
+                "left",
+            )
         # localCheckpoint: both the allowed (frontier) and denied (excluded)
         # branches read this frame, and its plan (links join + Bloom probe +
         # anti-joins) would otherwise be re-embedded in the enqueue/write
         # trees — truncate it like `fetched` above
         # (lazy: the enqueue counts collect below is the serial first toucher)
         fresh = (
-            fresh.withColumn("host", extract_host(F.col("url")))
+            marked.withColumn(
+                "_bounced", F.coalesce(F.col("_bounced"), F.lit(False))
+            )
+            .withColumn("host", extract_host(F.col("url")))
             .localCheckpoint(eager=False)
         )
-        fresh_allowed, fresh_denied = self._robots_allowed(fresh)
+        fresh_allowed, fresh_denied = self._robots_allowed(
+            fresh.filter(~F.col("_bounced"))
+        )
+        bounce_src = fresh.filter(F.col("_bounced"))
 
         # 7b+8. one window assigns enqueue_seq to children AND tail requeues:
         # children first (_grp=0, by parent pop then url), then requeues
         # (_grp=1, by pop order). The per-round enqueue batch is bounded by
         # round_capacity × fan-out, so the single-partition sort is safe.
-        child_rows = fresh_allowed.select(
-            "url",
-            "type",
-            F.when(
-                F.col("_is_page") | (F.col("edge") == "images"), "soon"
-            ).otherwise("normal").alias("tier"),
-            "host",
-            F.lit(0).cast("int").alias("attempt"),
-            F.lit(0).alias("_grp"),
-            F.col("parent_pop").cast("long").alias("_ord"),
-            # children inherit the winning parent's policy; the map path
-            # descends one step (traversalPolicy.js:154-160) — EXCEPT page
-            # rows, which keep the parent's own path + qualifier (the page
-            # is the same logical resource)
-            F.col("p_fetch").alias("policy_fetch"),
-            F.col("p_fresh").alias("policy_freshness"),
-            F.when(F.col("_is_page"), F.col("p_map"))
-            .otherwise(next_map_path(F.col("p_map"), F.col("edge")))
-            .alias("map_path"),
-            F.col("p_history").alias("history"),
-            F.lit(None).cast("string").alias("payload_id"),
-            F.when(F.col("_is_page"), F.col("p_qualifier"))
-            .otherwise(F.col("p_urn"))
-            .alias("qualifier"),
-            F.col("p_map_name").alias("map_name"),
-            F.col("_ndup").cast("long").alias("_ndup"),
-        )
+        # Bounced candidates ride the same union as _grp=2 PURELY so their
+        # count lands in the one enqueue-totals collect — they are filtered
+        # out before any state write and never consume enqueue_seq numbers
+        # (per-group offsets are independent; next_seq advances by groups
+        # 0+1 only).
+        def _candidate_rows(src: DataFrame, grp: int) -> DataFrame:
+            return src.select(
+                "url",
+                "type",
+                F.when(
+                    F.col("_is_page") | (F.col("edge") == "images"), "soon"
+                ).otherwise("normal").alias("tier"),
+                "host",
+                F.lit(0).cast("int").alias("attempt"),
+                F.lit(grp).alias("_grp"),
+                F.col("parent_pop").cast("long").alias("_ord"),
+                # children inherit the winning parent's policy; the map path
+                # descends one step (traversalPolicy.js:154-160) — EXCEPT
+                # page rows, which keep the parent's own path + qualifier
+                # (the page is the same logical resource)
+                F.col("p_fetch").alias("policy_fetch"),
+                F.col("p_fresh").alias("policy_freshness"),
+                F.when(F.col("_is_page"), F.col("p_map"))
+                .otherwise(next_map_path(F.col("p_map"), F.col("edge")))
+                .alias("map_path"),
+                F.col("p_history").alias("history"),
+                F.lit(None).cast("string").alias("payload_id"),
+                F.when(F.col("_is_page"), F.col("p_qualifier"))
+                .otherwise(F.col("p_urn"))
+                .alias("qualifier"),
+                F.col("p_map_name").alias("map_name"),
+                F.col("_ndup").cast("long").alias("_ndup"),
+            )
+
+        child_rows = _candidate_rows(fresh_allowed, 0)
+        bounce_rows = _candidate_rows(bounce_src, 2)
         rq_rows = fetched.filter(F.col("outcome").isin(*REQUEUE_CLASS)).select(
             "url",
             "type",
@@ -1665,7 +1890,9 @@ class CrawlEngine:
         # window per (_grp, _ord) whose sort is bounded by a single parent's
         # fan-out. The only collect here is the 2-row per-group totals that
         # ALSO fills new_rows' cache blocks (one job, two purposes).
-        union_rows = child_rows.unionByName(rq_rows).persist()
+        union_rows = (
+            child_rows.unionByName(rq_rows).unionByName(bounce_rows).persist()
+        )
         persisted.append(union_rows)
         counts = union_rows.groupBy("_grp", "_ord").agg(
             F.count(F.lit(1)).alias("_cnt")
@@ -1721,11 +1948,12 @@ class CrawlEngine:
         )
         grp_totals = {r["_grp"]: r["t"] for r in grp_rows}
         n_children = int(grp_totals.get(0, 0))
+        n_bounced = int(grp_totals.get(2, 0))
         n_attenuated = int(
             next((r["att"] for r in grp_rows if r["_grp"] == 0), 0) or 0
         )
         tr.mark("children+enqueue (count)")
-        new_rows_clean = new_rows.select(
+        new_rows_clean = new_rows.filter(F.col("_grp") != 2).select(
             "url",
             "type",
             "tier",
@@ -1783,9 +2011,32 @@ class CrawlEngine:
             - n_dead - n_selected + n_children + n_requeued
         )
 
+        # v5 deadletter lanes beyond max_attempts: excludeNotFound routes
+        # Missing rows immediately (crawler.js:528-533); Bailed is the
+        # post-elevated-retry permanent failure (githubFetcher.js:67-72)
+        extra_dl: list[DataFrame] = []
+        n_dl_extra = 0
+        if cfg.exclude_not_found and hist.get("Missing", 0) > 0:
+            extra_dl.append(
+                fetched.filter(F.col("outcome") == "Missing").select(
+                    "url", "type", "tier", F.lit(rnd).alias("round"),
+                    "attempt", F.lit("excludeNotFound").alias("reason"),
+                )
+            )
+            n_dl_extra += hist["Missing"]
+        if cfg.bailed_retry and hist.get("Bailed", 0) > 0:
+            extra_dl.append(
+                fetched.filter(F.col("outcome") == "Bailed").select(
+                    "url", "type", "tier", F.lit(rnd).alias("round"),
+                    "attempt", F.lit("Bailed").alias("reason"),
+                )
+            )
+            n_dl_extra += hist["Bailed"]
+
         metrics_new = self.spark.createDataFrame(
-            [(rnd, n_selected, n_children, n_requeued, n_dead, n_frontier_after,
-              n_ingested, n_attenuated, n_deferred)],
+            [(rnd, n_selected, n_children, n_requeued, n_dead + n_dl_extra,
+              n_frontier_after, n_ingested, n_attenuated, n_deferred,
+              n_bounced)],
             METRICS_SCHEMA,
         )
 
@@ -1853,7 +2104,7 @@ class CrawlEngine:
         ]
         if full_tables:  # compaction round: rewrite the MOR bases
             writes.append(lambda: self.store.write_tables(rnd, full_tables))
-        if n_dead > 0 or ev_dead is not None:
+        if n_dead > 0 or ev_dead is not None or extra_dl:
             dl = dead.select(
                 "url",
                 "type",
@@ -1864,8 +2115,14 @@ class CrawlEngine:
             )
             if ev_dead is not None:
                 dl = dl.unionByName(ev_dead)
+            for x in extra_dl:
+                dl = dl.unionByName(x)
             writes.append(
                 lambda: self.store.write_append(rnd, "deadletter_adds", dl)
+            )
+        if tomb_new is not None:
+            writes.append(
+                lambda: self.store.write_append(rnd, "tombstones", tomb_new)
             )
         # per-partition lineage (north_rule): which (tier, host-bucket)
         # partition produced what this round — the audit trail that lets a
@@ -1975,6 +2232,7 @@ class CrawlEngine:
             "bases": new_bases,
             "ingested": ingested_map,
             "docs_total": manifest.get("docs_total", 0) + hist.get("Processed", 0),
+            "tombstones_total": tomb_total_prev + n_tomb,
         }
         if cfg.measured_costs:
             if round_min is not None:
@@ -2030,6 +2288,91 @@ class CrawlEngine:
                 if stale is not None and stale is not bloom:
                     stale.destroy()
         return True
+
+    def _carry_extras(self, manifest: dict, **overrides) -> dict:
+        """Manifest extras for an ADMIN commit (flush/peek-remove/requeue):
+        everything carries forward except what the caller overrides."""
+        extras = {
+            "next_seq": manifest["next_seq"],
+            "total_popped": manifest["total_popped"],
+            "round": manifest["round"] + 1,
+            "frontier_size": manifest["frontier_size"],
+            "bases": self._bases(manifest),
+            "ingested": manifest.get("ingested", {}),
+            "docs_total": manifest.get("docs_total", 0),
+            "tombstones_total": manifest.get("tombstones_total", 0),
+        }
+        if "cost_baseline" in manifest:
+            extras["cost_baseline"] = manifest["cost_baseline"]
+        extras.update(overrides)
+        return extras
+
+    def _carry_bloom(self, manifest: dict, version: int, rnd: int, extras: dict):
+        """Blobs are per-version: an admin commit re-points the previous
+        version's filter at the new version (the seen set is untouched)."""
+        if "bloom" in manifest:
+            self._write_bloom(
+                rnd,
+                self._load_bloom(
+                    version, manifest,
+                    self._read_seen(version, self._bases(manifest)),
+                ),
+            )
+            extras["bloom"] = manifest["bloom"]
+
+    def flush_tier(self, tier: str) -> int:
+        """Admin queue surface (lib/crawlerService.js:75-88 flushQueue):
+        drop EVERY frontier row of ``tier`` — committed as its own snapshot
+        round via equality-deletes on the rows' enqueue_seqs (merge-on-read:
+        no table rewrite; bases carry forward). Returns rows flushed."""
+        manifest = self.store.read_manifest()
+        version = manifest["current"]
+        rnd = manifest["round"] + 1
+        frontier = self._read_frontier(version, self._bases(manifest))
+        victims = frontier.filter(F.col("tier") == tier).select("enqueue_seq")
+        n = victims.count()
+        if n == 0:
+            return 0
+        self.store.write_append(rnd, "frontier_removes", victims)
+        extras = self._carry_extras(
+            manifest, frontier_size=manifest["frontier_size"] - n
+        )
+        self._carry_bloom(manifest, version, rnd, extras)
+        self.store.commit(rnd, extras)
+        if self._bloom_version == version:
+            self._bloom_version = rnd
+        return n
+
+    def peek_requests(
+        self, tier: str | None = None, count: int = 10, remove: bool = False
+    ) -> list:
+        """Admin queue surface (lib/crawlerService.js:91-105 getRequests):
+        the first ``count`` frontier rows (optionally of one tier) in
+        enqueue order. ``remove=True`` also deletes them (its own snapshot
+        round) — peek+remove == pop WITHOUT processing, the reference's
+        destructive getRequests(count, remove). The driver copy is bounded
+        by ``count`` (the orderBy is a top-k under a limit, not a full
+        sort)."""
+        manifest = self.store.read_manifest()
+        version = manifest["current"]
+        rnd = manifest["round"] + 1
+        frontier = self._read_frontier(version, self._bases(manifest))
+        if tier is not None:
+            frontier = frontier.filter(F.col("tier") == tier)
+        rows = frontier.orderBy("enqueue_seq").limit(count).collect()
+        if remove and rows:
+            removes = self.spark.createDataFrame(
+                [(r["enqueue_seq"],) for r in rows], "enqueue_seq long"
+            )
+            self.store.write_append(rnd, "frontier_removes", removes)
+            extras = self._carry_extras(
+                manifest, frontier_size=manifest["frontier_size"] - len(rows)
+            )
+            self._carry_bloom(manifest, version, rnd, extras)
+            self.store.commit(rnd, extras)
+            if self._bloom_version == version:
+                self._bloom_version = rnd
+        return rows
 
     def requeue_deadletters(self, url_filter: str | None = None) -> int:
         """Deadletter requeue API (lib/crawlerService.js:119-130 analog):
@@ -2100,6 +2443,7 @@ class CrawlEngine:
             "bases": new_bases,
             "ingested": manifest.get("ingested", []),
             "docs_total": manifest.get("docs_total", 0),
+            "tombstones_total": manifest.get("tombstones_total", 0),
         }
         if "cost_baseline" in manifest:
             extras["cost_baseline"] = manifest["cost_baseline"]

@@ -7,14 +7,51 @@ queue rotation is replaced by seeded integer virtual-time rotation in BOTH
 the simulator and the Spark engine, so order is well-defined and
 parallelism-independent).
 
-=== ROUND SPEC v4 (the contract tests pin engine == simulator on) ===
+=== ROUND SPEC v5 (the contract tests pin engine == simulator on) ===
 
 State: frontier rows (url, type, tier, host, enqueue_seq, attempt,
 policy_fetch, policy_freshness, map_path, history, payload_id, qualifier,
 map_name); seen set (urls ever completed); stored docs {url: (round,
-version)}; host state (integer token bucket level, bench_until round);
-order log; docs; deadletter; excluded; next_seq counter; pending event
-batches; cost_baseline (measured-cost mode running min).
+version)}; tombstones {url: deletion round}; host state (integer token
+bucket level, bench_until round); order log; docs; deadletter; excluded;
+next_seq counter; pending event batches; cost_baseline (measured-cost mode
+running min).
+
+v5 additions over v4 (round 5):
+ - ``bounced`` metric (redisRequestTracker.js:27 logs every tracker-bounced
+   push): child candidates that survive attenuation AND the seen-set dedup
+   but are dropped because their url is already in flight (J5) are counted
+   per round. The J5 check order is now pinned as seen-dedup FIRST, then
+   in-flight (both orders drop the same rows; the order only defines which
+   counter a doubly-dropped url lands in).
+ - ``exclude_not_found`` (lib/crawler.js:528-533 excludeNotFound): when set,
+   a row whose origin fetch finds nothing (outcome Missing) goes STRAIGHT to
+   the deadletter with reason 'excludeNotFound' in the same round — it still
+   logs Missing and completes into the seen set, but never burns attempts.
+ - ``bailed_retry`` (githubFetcher.js:67-72): when set, a PERMANENT-class
+   failure gets exactly ONE retry (the reference's single elevated-token
+   retry) and then deadletters with reason 'Bailed' (outcome ``Bailed``,
+   completes into seen) instead of looping to max_attempts. Transient
+   (throttle-class) failures keep their own retry semantics and take
+   precedence while they apply.
+ - ``tombstones`` (lib/crawler.js:375,433-434 deletedAt;
+   githubProcessor.js:599-724 deletion handlers): an event with action
+   'deleted' is a DELETION DIRECTIVE, not a crawl request — it never
+   enqueues; it stamps tombstones[url] = round. A deletion may be
+   cacheKey-addressed (githubProcessor deletes by cache key when no url is
+   known): url absent but payload_id set resolves to the stored doc whose
+   image_id == payload_id (latest upsert wins). A url is DELETED while
+   tombstone_round >= round of the latest stored doc (ties: deletion wins).
+   Popping a deleted url short-circuits: non-origin fetch sources log
+   ``Deleted`` (the stored doc is tombstoned, crawler.js:375); an origin
+   contact finds the entity GONE at origin → ``Missing`` (and the
+   excludeNotFound lane applies if configured). Either way the row
+   completes into seen, stores no doc, and traverses no children — the
+   deleted subtree is never re-queued (crawler.js:433-434). Only a later
+   event carrying an inline payload document resurrects the url (its doc
+   upsert outdates the tombstone). Deletion directives are exempt from F7
+   timeline visibility (they are control flow, not timeline items); a
+   deletion with neither url nor payload_id deadletters as 'malformed'.
 
 v4 additions over v3 (round 4):
  - Outcome taxonomy (lib/crawler.js:509-519, request.js markRequeue): a
@@ -252,6 +289,24 @@ class SimConfig:
     # map_name selects the cut; rows naming an unknown scenario traverse
     # nothing. None falls back to the flat visitor_map (scenario 'default').
     scenario_maps: dict | None = None
+    # v5 (module doc): 404-class rows straight to deadletter
+    # (lib/crawler.js:528-533)
+    exclude_not_found: bool = False
+    # v5: permanent failures get ONE elevated retry then deadletter 'Bailed'
+    # (githubFetcher.js:67-72)
+    bailed_retry: bool = False
+    # v5: deletion-event tombstone flow (lib/crawler.js:375,433-434)
+    tombstones: bool = False
+    # v5: graph-derived crawl priority (the OPIC/PageRank idea the static
+    # tier weights approximate; SURVEY g1 wired into the engine): each
+    # host's politeness prefix is ordered by (link-graph rank DESC,
+    # enqueue_seq) instead of pure FIFO. Rank = integer fixed-point
+    # PageRank over the link table (pagerank_fixed_point_py == the engine's
+    # operators/graph recurrence, bit-exact). The input graph here is
+    # static, so one computation is exact; a live crawl with growing link
+    # discovery would recompute every k rounds over the accumulated table.
+    rank_priority: bool = False
+    rank_iters: int = 3
 
 
 def webhook_signature(secret: str, url: str, type_: str) -> str:
@@ -283,6 +338,38 @@ def synthetic_elapsed(url: str, static_cost: int) -> int:
     computeLimiter.js:44-60) + work proportional to the static cost +
     per-url jitter."""
     return 20 + static_cost * 10 + stable_hash(url) % 7
+
+
+def pagerank_fixed_point_py(
+    edges, n_iter: int = 3, damping_pct: int = 85, scale: int = 10**12
+) -> dict:
+    """Pure-Python twin of operators/graph.pagerank_fixed_point — the SAME
+    integer fixed-point recurrence (all integral, order-free sums), so the
+    simulator's rank-driven priorities are bit-exact against the engine's.
+    ``edges``: iterable of (src, dst)."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    d = damping_pct
+    rank0 = scale // n
+    base = ((100 - d) * (rank0 * n)) // (100 * n)
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {v: rank0 for v in nodes}
+    for _ in range(n_iter):
+        shares = {
+            v: (ranks[v] * d) // (100 * outdeg[v]) for v in nodes if v in outdeg
+        }
+        dang = sum((ranks[v] * d) // 100 for v in nodes if v not in outdeg)
+        inflow: dict = {}
+        for s, dst in edges:
+            if s in shares:
+                inflow[dst] = inflow.get(dst, 0) + shares[s]
+        ranks = {v: base + dang // n + inflow.get(v, 0) for v in nodes}
+    return ranks
 
 
 def root_qualifier(url: str) -> str:
@@ -356,6 +443,7 @@ class ReferenceSimulator:
         self.frontier: list[FrontierRow] = []
         self.seen: set[str] = set()
         self.stored: dict[str, tuple[int, int]] = {}  # url -> (round, version)
+        self.tombstones: dict[str, int] = {}  # url -> deletion round (v5)
         self.levels: dict[str, int] = {}
         self.bench_until: dict[str, int] = {}
         self.order_log: list[dict] = []
@@ -367,6 +455,19 @@ class ReferenceSimulator:
         self.next_seq = 0
         self.round = 0
         self.cost_baseline: int | None = None  # running min observed elapsed
+        self._ranks: dict | None = None  # v5 rank_priority cache
+
+    def _rank(self, url: str) -> int:
+        if self._ranks is None:
+            self._ranks = pagerank_fixed_point_py(
+                [
+                    (src, dst)
+                    for src, lst in self.links.items()
+                    for _, dst, _ in lst
+                ],
+                n_iter=self.cfg.rank_iters,
+            )
+        return self._ranks.get(url, 0)
 
     def _denied(self, url: str) -> bool:
         host = host_of(url)
@@ -450,6 +551,31 @@ class ReferenceSimulator:
                          "reason": "unverified"}
                     )
                     continue
+            if self.cfg.tombstones and e.get("action") == "deleted":
+                # v5 DELETION DIRECTIVE (module doc): tombstone, never
+                # enqueue. cacheKey-addressed (no url, payload_id names the
+                # stored doc id) resolves via the LATEST doc with that id.
+                u = e.get("url")
+                if not u and e.get("payload_id"):
+                    # latest doc with that id: max (round, url) — the same
+                    # deterministic rule the engine's groupBy-max implements
+                    cands = [
+                        (d["round"], d["url"])
+                        for d in self.docs
+                        if d["image_id"] == e["payload_id"]
+                    ]
+                    u = max(cands)[1] if cands else None
+                    if u is None:
+                        continue  # unknown cache key: nothing to delete
+                if not u or not _URL_RE.match(u):
+                    self.deadletter.append(
+                        {"url": e.get("url") or "", "type": e.get("type") or "",
+                         "tier": "events", "round": self.round, "attempt": 0,
+                         "reason": "malformed"}
+                    )
+                    continue
+                self.tombstones[u] = self.round
+                continue
             if is_malformed(e.get("url"), e.get("type")):
                 self.deadletter.append(
                     {"url": e.get("url") or "", "type": e.get("type") or "",
@@ -481,7 +607,11 @@ class ReferenceSimulator:
             self.next_seq += 1
             self.frontier.append(
                 FrontierRow(
-                    url=u, type=e["type"], tier="events", host=host_of(u),
+                    url=u, type=e["type"],
+                    # v5 streaming unification: limiter-throttled events
+                    # enter 'later' (weight 2), not 'events' (weight 10)
+                    tier="later" if e.get("throttled") else "events",
+                    host=host_of(u),
                     enqueue_seq=self.next_seq, policy_fetch=pf,
                     policy_freshness=fresh, map_path=mp,
                     payload_id=e.get("payload_id"),
@@ -529,6 +659,12 @@ class ReferenceSimulator:
             if self.bench_until.get(h, 0) >= self.round:
                 n_deferred += len(rows)  # withheld: host benched (Deferred)
                 continue
+            if cfg.rank_priority:
+                # v5: the politeness prefix favors graph-important urls
+                # (rank DESC), FIFO within equal rank
+                rows = sorted(
+                    rows, key=lambda x: (-self._rank(x.url), x.enqueue_seq)
+                )
             budget = max(self.levels[h], 0)
             spent = 0
             for r in rows:
@@ -563,17 +699,50 @@ class ReferenceSimulator:
         selected_urls = {r.url for r in selected}
         self.frontier = [r for r in self.frontier if r.url not in selected_urls]
 
-        # 5-6. fetch + outcomes (ROUND SPEC v2 decision table)
+        # 5-6. fetch + outcomes (ROUND SPEC v2 decision table; v5 adds the
+        # Deleted short-circuit, Bailed, and excludeNotFound lanes)
         requeued: list[FrontierRow] = []
         traversed: list[tuple[int, FrontierRow]] = []
         throttled_hosts: set[str] = set()
         new_docs: list[tuple[str, str]] = []  # (url, image_id) upserts
+        n_dl_extra = 0  # v5: Bailed + excludeNotFound deadletters this round
         for pop_seq, r in enumerate(selected, start=1):
             stored = r.url in self.stored
             fsrc = fetch_source(r.policy_fetch, r.type, stored)
+            # v5: a url is DELETED while its tombstone is at least as new as
+            # its latest stored doc; non-origin fetch sources short-circuit
+            # (crawler.js:375 checks _metadata.deletedAt before processing)
+            deleted_now = (
+                cfg.tombstones
+                and r.url in self.tombstones
+                and (
+                    not stored
+                    or self.stored[r.url][0] <= self.tombstones[r.url]
+                )
+            )
             if r.payload_id is not None:
+                # an event-carried payload is fresh content — it RESURRECTS
+                # a tombstoned url (the doc upsert outdates the tombstone)
                 outcome = "Processed"
                 new_docs.append((r, r.payload_id))
+                self.seen.add(r.url)
+            elif deleted_now:
+                # storage/etag/skip sources short-circuit on the tombstone
+                # (crawler.js:375); an origin contact finds the entity GONE
+                # at origin (the deletion event said so) → Missing. Either
+                # way the row completes with no doc and NO TRAVERSAL — the
+                # deleted subtree is never re-queued (crawler.js:433-434).
+                if fsrc != "origin":
+                    outcome = "Deleted"
+                else:
+                    outcome = "Missing"
+                    if cfg.exclude_not_found:
+                        self.deadletter.append(
+                            {"url": r.url, "type": r.type, "tier": r.tier,
+                             "round": self.round, "attempt": r.attempt,
+                             "reason": "excludeNotFound"}
+                        )
+                        n_dl_extra += 1
                 self.seen.add(r.url)
             elif (
                 cfg.inject_failures
@@ -583,14 +752,28 @@ class ReferenceSimulator:
                 # taxonomy (crawler.js:509-519): throttle-class transient
                 # failures log 'Throttled' (markRequeue('Throttled'),
                 # githubFetcher.js:176-192); permanent-fail retries stay
-                # 'Requeued'. Both re-enter at the tail identically.
+                # 'Requeued'. Both re-enter at the tail identically — except
+                # under v5 bailed_retry, where a permanent failure past its
+                # single elevated retry deadletters as 'Bailed'
+                # (githubFetcher.js:67-72 markDead('Bailed')).
                 if is_transient_fail(r.url, r.attempt):
                     outcome = "Throttled"
                     throttled_hosts.add(r.host)
+                    r.attempt += 1
+                    requeued.append(r)
+                elif cfg.bailed_retry and r.attempt >= 1:
+                    outcome = "Bailed"
+                    self.seen.add(r.url)
+                    self.deadletter.append(
+                        {"url": r.url, "type": r.type, "tier": r.tier,
+                         "round": self.round, "attempt": r.attempt,
+                         "reason": "Bailed"}
+                    )
+                    n_dl_extra += 1
                 else:
                     outcome = "Requeued"
-                r.attempt += 1
-                requeued.append(r)
+                    r.attempt += 1
+                    requeued.append(r)
             elif fsrc == "skip":
                 outcome = "Skipped"
                 self.seen.add(r.url)
@@ -601,6 +784,15 @@ class ReferenceSimulator:
             else:
                 if fsrc == "origin" and r.url not in self.corpus:
                     outcome = "Missing"
+                    if cfg.exclude_not_found:
+                        # v5 (crawler.js:528-533): straight to deadletter,
+                        # no attempt loop; the row still completes (seen)
+                        self.deadletter.append(
+                            {"url": r.url, "type": r.type, "tier": r.tier,
+                             "round": self.round, "attempt": r.attempt,
+                             "reason": "excludeNotFound"}
+                        )
+                        n_dl_extra += 1
                 else:
                     # storage/etag arrive unchanged (static corpus → 304)
                     from_origin = fsrc == "origin"
@@ -709,10 +901,16 @@ class ReferenceSimulator:
                         best[dst] = (pop_seq, "_pages", dst, parent.type,
                                      parent, True)
         children = []
+        n_bounced = 0
         for dst, (ppop, edge, _, dst_type, parent, _pg) in best.items():
-            if dst in frontier_urls:
-                continue
+            # v5 pinned order: seen-dedup FIRST, then the in-flight check —
+            # so `bounced` counts exactly the tracker-bounced pushes
+            # (redisRequestTracker.js:27): candidates the dedup cache let
+            # through that an in-flight request then rejected (J5)
             if dst in self.seen and parent.policy_freshness != "always":
+                continue
+            if dst in frontier_urls:
+                n_bounced += 1
                 continue
             if self._denied(dst):
                 self.excluded.append({"url": dst, "round": self.round})
@@ -754,9 +952,10 @@ class ReferenceSimulator:
         self.metrics.append(
             {"round": self.round, "selected": len(selected),
              "children": len(children), "requeued": len(requeued),
-             "deadlettered": len(dead), "frontier_after": len(self.frontier),
+             "deadlettered": len(dead) + n_dl_extra,
+             "frontier_after": len(self.frontier),
              "ingested": n_ingested, "attenuated": n_attenuated,
-             "deferred": n_deferred}
+             "deferred": n_deferred, "bounced": n_bounced}
         )
         return True
 

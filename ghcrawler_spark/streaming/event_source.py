@@ -107,6 +107,8 @@ def attach_event_stream(
     watermark: str = "10 seconds",
     query_name: str = "events-to-staging",
     secret: str | None = None,
+    rate_per_sec: float | None = None,
+    burst: float = 4.0,
 ):
     """Wire a streaming event frame into the engine's staging directory.
 
@@ -116,13 +118,56 @@ def attach_event_stream(
     time it starts (same contract as the reference, where webhook pushes
     land on the events queue between pops). Pass the same ``staging_dir`` as
     CrawlConfig.ingest_dir.
-    """
+
+    With ``rate_per_sec`` set, the stream runs through the SAME per-host
+    token-bucket limiter the batch rounds enforce (streaming/rate_limiter's
+    `applyInPandasWithState`; providers/limiting/limiter.js semantics):
+    over-rate events are NOT dropped — they stage with ``throttled=true``
+    and the engine routes them to the low-priority 'later' tier instead of
+    'events' (the streaming twin of the engine's Throttled requeue,
+    lib/crawler.js:441-459). Row attributes ride through the stateful op as
+    a packed JSON ``meta`` column (the op's schema is fixed)."""
     deduped = events_stream.withWatermark("ts", watermark).dropDuplicates(
         ["url", "type"]
     )
+    if rate_per_sec is not None:
+        from ghcrawler_spark.functions.urls import extract_host
+        from ghcrawler_spark.streaming.rate_limiter import host_token_bucket
+
+        staged = events_to_staged_rows(deduped, secret=secret)
+        shaped = staged.select(
+            extract_host(F.col("url")).alias("host"),
+            "url",
+            "event_ms",
+            F.to_json(
+                F.struct("type", "payload_id", "verified")
+            ).alias("meta"),
+        )
+        limited = host_token_bucket(
+            shaped, rate_per_sec=rate_per_sec, burst=burst, carry_meta=True
+        )
+        meta = F.from_json(
+            F.col("meta"),
+            "type string, payload_id string, verified boolean",
+        )
+        deduped = limited.select(
+            "url",
+            meta["type"].alias("type"),
+            "event_ms",
+            meta["payload_id"].alias("payload_id"),
+            meta["verified"].alias("verified"),
+            (~F.col("allowed")).alias("throttled"),
+        )
+        pre_staged = True
+    else:
+        pre_staged = False
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        rows = events_to_staged_rows(batch_df, secret=secret)
+        rows = (
+            batch_df
+            if pre_staged
+            else events_to_staged_rows(batch_df, secret=secret)
+        )
         # intra-batch attenuation: first occurrence per url wins (J4)
         w = Window.partitionBy("url").orderBy("event_ms", "type")
         rows = (

@@ -51,6 +51,13 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# carry_meta variant: an opaque passthrough column (callers pack whatever
+# row attributes they need — e.g. the event front-end packs
+# (type, payload_id, verified) as JSON) rides through the stateful op
+META_OUTPUT_SCHEMA = StructType(
+    list(OUTPUT_SCHEMA.fields) + [StructField("meta", StringType())]
+)
+
 STATE_SCHEMA = StructType(
     [
         StructField("tokens", DoubleType()),
@@ -78,8 +85,16 @@ def _bucket_replay(
     for ms in rows["event_ms"].astype("int64"):
         if last_ms is None:
             last_ms = int(ms)
-        tokens = min(burst, tokens + (int(ms) - last_ms) / 1000.0 * rate_per_sec)
-        last_ms = int(ms)
+        # clamp elapsed at zero: rows are event-time ordered WITHIN a batch,
+        # but a later micro-batch may deliver an event older than the stored
+        # last_ms — a negative refill would silently drive tokens below 0
+        # and over-throttle the host. Late rows refill nothing and last_ms
+        # never moves backwards (monotone state).
+        elapsed_ms = max(0, int(ms) - last_ms)
+        tokens = max(
+            0.0, min(burst, tokens + elapsed_ms / 1000.0 * rate_per_sec)
+        )
+        last_ms = max(last_ms, int(ms))
         if tokens >= 1.0:
             tokens -= 1.0
             out_allowed.append(True)
@@ -94,14 +109,20 @@ def host_token_bucket(
     requests: DataFrame,
     rate_per_sec: float = 2.0,
     burst: float = 4.0,
+    carry_meta: bool = False,
 ) -> DataFrame:
     """Apply the stateful limiter to a streaming frame of
     (host string, url string, event_ms long) fetch requests.
 
-    Returns (host, url, event_ms, allowed, tokens_after) in append mode.
-    Callers route allowed=False rows to the `later` tier exactly like the
-    engine's Throttled requeue (lib/crawler.js:441-459 → requeue on the
-    same queue with attempt++)."""
+    Returns (host, url, event_ms, allowed, tokens_after) in append mode —
+    plus the opaque ``meta`` passthrough column when ``carry_meta`` is set
+    (the input frame must then carry ``meta`` too). Callers route
+    allowed=False rows to the `later` tier exactly like the engine's
+    Throttled requeue (lib/crawler.js:441-459 → requeue on the same queue
+    with attempt++)."""
+    out_cols = ["host", "url", "event_ms", "allowed", "tokens_after"] + (
+        ["meta"] if carry_meta else []
+    )
 
     def fn(
         key: tuple[str],
@@ -117,16 +138,19 @@ def host_token_bucket(
             pdf, tokens, last_ms = _bucket_replay(
                 pdf, tokens, last_ms, rate_per_sec, burst
             )
-            yield pdf.assign(host=host)[
-                ["host", "url", "event_ms", "allowed", "tokens_after"]
-            ]
-        state.update((float(tokens), int(last_ms) if last_ms is not None else 0))
+            yield pdf.assign(host=host)[out_cols]
+        if last_ms is None:
+            # no rows processed: leave the state ABSENT (absent ⇒ full
+            # bucket) instead of writing a 0-ms sentinel the next batch
+            # would misread as an epoch-old refill anchor
+            return
+        state.update((float(tokens), int(last_ms)))
 
     return (
         requests.groupBy("host")
         .applyInPandasWithState(
             fn,
-            outputStructType=OUTPUT_SCHEMA,
+            outputStructType=META_OUTPUT_SCHEMA if carry_meta else OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -27,7 +27,7 @@ def test_insert_probe_no_false_negatives():
     keys = rng.randint(-(2**62), 2**62, size=5000, dtype=np.int64)
     nb = cuckoo_buckets(5000)
     table = _empty_table(nb)
-    assert _insert_batch(table, keys, nb) == 0
+    assert _insert_batch(table, keys, nb)[0] == 0
     assert _probe_batch(table, keys, nb).all()
 
 
@@ -51,7 +51,7 @@ def test_high_load_eviction_still_placeable():
     n = int(nb * SLOTS * 0.85)
     keys = rng.randint(-(2**62), 2**62, size=n, dtype=np.int64)
     table = _empty_table(nb)
-    assert _insert_batch(table, keys, nb) == 0
+    assert _insert_batch(table, keys, nb)[0] == 0
     assert _probe_batch(table, keys, nb).all()
 
 
@@ -162,3 +162,43 @@ def test_overflow_flag(spark):
     grown = small.merged(keys)
     assert grown.overflowed()  # 150/shard > 2 x 64
     grown.destroy()
+
+
+def test_placed_count_exact_on_reinsert():
+    """Round-5 pin (ADVICE r4): _insert_batch reports actually-PLACED new
+    fingerprints, so a recrawl-heavy batch (same keys again) contributes 0
+    to the live count — n_keys never drifts high and triggers premature
+    rebuilds."""
+    rng = np.random.RandomState(17)
+    keys = rng.randint(-(2**62), 2**62, size=1500, dtype=np.int64)
+    nb = cuckoo_buckets(1500)
+    table = _empty_table(nb)
+    failed, placed = _insert_batch(table, keys, nb)
+    assert failed == 0
+    # fp collisions may merge a handful of keys (set semantics)
+    assert 1500 * 0.99 <= placed <= 1500
+    failed2, placed2 = _insert_batch(table, keys, nb)
+    assert (failed2, placed2) == (0, 0)  # all already present
+
+
+def test_shard_overflow_raises_typed_error(spark):
+    """A physically saturated shard raises CuckooShardOverflow from the
+    merge cogroup (surfaced through Spark); the engine catches the message
+    and falls through to the amortized rebuild instead of aborting."""
+    import pytest
+
+    from ghcrawler_spark.operators.cuckoo import (
+        CuckooShardOverflow,
+        CuckooShardTable,
+    )
+
+    tbl = CuckooShardTable.empty(spark, num_shards=1, expected_per_shard=4)
+    # structural floor: 64 buckets x 4 slots = 256 raw slots; 600 distinct
+    # keys cannot all place
+    keys = spark.range(600).selectExpr("xxhash64(id) as url_hash")
+    merged = tbl.merged(keys)
+    with pytest.raises(Exception) as ei:
+        merged.total_keys()
+    assert "over capacity" in str(ei.value)
+    # the typed error exists for direct (non-Spark-wrapped) callers
+    assert issubclass(CuckooShardOverflow, ValueError)

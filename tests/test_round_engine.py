@@ -454,3 +454,47 @@ def test_cuckoo_resize_grows_shard_count(spark, fx, sim_result, tmp_path):
     # per-shard table sits at the 64-bucket structural floor (512 B) — the
     # byte-cap rule scaled the SHARD COUNT instead of growing one table
     assert ck.n_buckets * SLOTS * 2 == 64 * SLOTS * 2
+
+
+def test_cuckoo_skewed_shard_overflow_falls_through_to_rebuild(
+    spark, fx, sim_result, tmp_path, monkeypatch
+):
+    """Round-5 pin (ADVICE r4): a shard that saturates BEFORE the global
+    total-keys trigger (skew) must not abort the round — the engine catches
+    the overflow at the eager total_keys() materialization and falls through
+    to the amortized full rebuild, then finishes to the exact oracle state."""
+    from ghcrawler_spark.operators import cuckoo as CK
+
+    eng, store, seeds = _engine(
+        spark, fx, str(tmp_path / "s"), seen_filter="cuckoo"
+    )
+    eng.seed(seeds)
+    eng.run_round()
+
+    orig = CK.CuckooShardTable.total_keys
+    state = {"fired": False}
+
+    def flaky(self):
+        if not state["fired"]:
+            state["fired"] = True
+            raise ValueError(
+                "cuckoo shard 0 over capacity: 3 keys unplaceable (forced)"
+            )
+        return orig(self)
+
+    monkeypatch.setattr(CK.CuckooShardTable, "total_keys", flaky)
+    assert eng.run_round()  # the overflow round: rebuild, not abort
+    monkeypatch.undo()
+
+    cap_after = store.read_manifest()["bloom"]["capacity_per_shard"] * max(
+        1, store.read_manifest()["bloom"]["num_shards"]
+    )
+    for _ in range(N_ROUNDS - 2):
+        if not eng.run_round():
+            break
+    log, seen = _collect_state(spark, store)
+    assert state["fired"]
+    assert log == sim_result.order_log
+    assert seen == sim_result.seen
+    # the forced overflow took the 4x rebuild branch: capacity grew
+    assert cap_after >= 4 * 4096  # seed floor was max(4096, ...)

@@ -438,7 +438,8 @@ def test_outcome_taxonomy_and_metrics_pins(spark, tmp_path):
     for rnd, sm in sim_metrics.items():
         em = eng_metrics[rnd]
         for k in ("selected", "children", "requeued", "deadlettered",
-                  "frontier_after", "ingested", "attenuated", "deferred"):
+                  "frontier_after", "ingested", "attenuated", "deferred",
+                  "bounced"):
             assert em[k] == sm[k], (rnd, k, em, sm)
     # the fixture actually exercised both new counters somewhere
     assert any(m["attenuated"] > 0 for m in sim.metrics), sim.metrics

@@ -234,3 +234,129 @@ def test_token_bucket_replay_matches_engine_throttle_shape(spark, tmp_path):
     assert len(res) == 20  # throttled rows are emitted, not dropped
     # 3 burst tokens + 0.19s * 5/s = 0.95 refill -> exactly 3 allowed
     assert sum(r.allowed for r in res) == 3
+
+
+def test_token_bucket_out_of_order_events_clamp():
+    """Round-5 pin (ADVICE r4): an event older than the stored last_ms must
+    refill NOTHING (elapsed clamped at 0) and never drive tokens negative —
+    late data degrades gracefully instead of over-throttling the host."""
+    import pandas as pd
+
+    from ghcrawler_spark.streaming.rate_limiter import _bucket_replay
+
+    # batch 1 advances last_ms to 10_000 and drains the bucket
+    b1 = pd.DataFrame(
+        {"host": "h", "url": [f"u{i}" for i in range(6)],
+         "event_ms": [10_000] * 6}
+    )
+    out1, tokens, last_ms = _bucket_replay(b1, 2.0, None, 1.0, 2.0)
+    assert tokens == 0.0 and last_ms == 10_000
+    assert list(out1["allowed"]) == [True, True, False, False, False, False]
+
+    # batch 2 arrives with an OLDER timestamp: no refill, tokens floored,
+    # last_ms monotone
+    b2 = pd.DataFrame({"host": "h", "url": ["late"], "event_ms": [3_000]})
+    out2, tokens2, last_ms2 = _bucket_replay(b2, tokens, last_ms, 1.0, 2.0)
+    assert bool(out2["allowed"].iloc[0]) is False
+    assert tokens2 == 0.0  # never negative
+    assert last_ms2 == 10_000  # did not move backwards
+
+    # a genuinely later event refills normally from the unmoved anchor
+    b3 = pd.DataFrame({"host": "h", "url": ["ok"], "event_ms": [11_500]})
+    out3, tokens3, _ = _bucket_replay(b3, tokens2, last_ms2, 1.0, 2.0)
+    assert bool(out3["allowed"].iloc[0]) is True  # 1.5s * 1/s = 1.5 tokens
+    assert abs(tokens3 - 0.5) < 1e-9
+
+
+def test_rate_limited_event_stream_routes_throttled_to_later(spark, tmp_path):
+    """v5 streaming front-end unification: attach_event_stream with
+    rate_per_sec runs the SAME applyInPandasWithState token bucket the batch
+    lane models — staged `throttled` flags equal the pure-Python continuous
+    replay on the shared schedule (batch-vs-stream equivalence), the engine
+    routes throttled rows to the 'later' tier, and engine == simulator on
+    the resulting pop order."""
+    from ghcrawler_spark.plans.round_engine import CrawlConfig, CrawlEngine
+    from ghcrawler_spark.simulator import ReferenceSimulator, SimConfig
+    from ghcrawler_spark.sources.snapshot import SnapshotStore
+    from ghcrawler_spark.streaming.rate_limiter import replay_oracle
+
+    src = str(tmp_path / "src")
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(staging)
+
+    # 5 events on one host inside one second, bucket = 2 tokens @ 1/s:
+    # the continuous replay allows the first two, throttles the rest
+    rows = [
+        (f"http://h1.test/e{i}", "page", f"2024-01-01 00:00:00.{i}00")
+        for i in range(5)
+    ]
+    spark.createDataFrame(rows, "url string, type string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "url string, type string, ts timestamp"
+    ).parquet(src)
+    q = attach_event_stream(
+        stream, staging, ckpt, rate_per_sec=1.0, burst=2.0
+    )
+    q.awaitTermination(120)
+
+    staged = {r["url"]: r.asDict() for r in spark.read.parquet(staging).collect()}
+    assert len(staged) == 5
+    oracle = replay_oracle(
+        [("h1.test", r["url"], r["event_ms"]) for r in staged.values()],
+        rate_per_sec=1.0,
+        burst=2.0,
+    )
+    for u, r in staged.items():
+        want_throttled = not oracle[("h1.test", u, r["event_ms"])][0]
+        assert r["throttled"] == want_throttled, (u, r)
+    throttled_urls = {u for u, r in staged.items() if r["throttled"]}
+    assert len(throttled_urls) == 3
+
+    # engine absorbs the staged batch: throttled rows land on 'later' and
+    # pop AFTER the events-tier ones; engine == simulator
+    store = SnapshotStore(str(tmp_path / "store"))
+    empty_corpus = spark.createDataFrame([], "image_id string, url string")
+    empty_links = spark.createDataFrame(
+        [], "src_url string, edge string, dst_url string, dst_type string"
+    )
+    eng = CrawlEngine(
+        spark, store, empty_corpus, empty_links,
+        CrawlConfig(round_capacity=16, bucket_capacity=8, bucket_fill=8,
+                    inject_failures=False, ingest_dir=staging),
+    )
+    eng.seed(spark.createDataFrame(
+        [], "url string, type string, tier string, policy_fetch string, "
+            "policy_freshness string, map_path string"))
+    sim = ReferenceSimulator({}, {}, SimConfig(
+        round_capacity=16, bucket_capacity=8, bucket_fill=8,
+        inject_failures=False))
+    sim.inject_events([
+        {"url": u, "type": "page", "event_ms": r["event_ms"],
+         "throttled": r["throttled"]}
+        for u, r in staged.items()
+    ])
+    for _ in range(4):
+        if not eng.run_round():
+            break
+    for _ in range(4):
+        if not sim.run_round():
+            break
+    eng_log = [
+        r.asDict()
+        for r in store.read_appends(spark, "order_log").orderBy("seq")
+        .select("seq", "round", "pop_seq", "url", "type", "tier", "host",
+                "outcome").collect()
+    ]
+    assert eng_log == sim.order_log
+    tiers = [(r["url"], r["tier"]) for r in eng_log]
+    assert {t for u, t in tiers if u in throttled_urls} == {"later"}
+    assert {t for u, t in tiers if u not in throttled_urls} == {"events"}
+    # weight-10 events all pop before any weight-2 later row
+    seqs_ev = [r["seq"] for r in eng_log if r["tier"] == "events"]
+    seqs_lt = [r["seq"] for r in eng_log if r["tier"] == "later"]
+    assert max(seqs_ev) < min(seqs_lt)

@@ -103,11 +103,27 @@ def main() -> int:
                    solo_shingle is None,
                    "found a join keyed on shingle alone — that's the all-pairs blow-up"))
     n_hash_ex = len(re.findall(r"Exchange hashpartitioning", p))
-    checks.append(("d3 signatures are map-only: <=2 hash exchanges in the whole plan",
-                   n_hash_ex <= 2,
+    checks.append(("d3 signatures are map-only: <=5 hash exchanges (bucket "
+                   "groupBy, candidate distincts, verify equi-join)",
+                   n_hash_ex <= 5,
                    f"found {n_hash_ex} hash exchanges — signature build must not shuffle"))
     checks.append(("d3 verify joins broadcast the candidate side",
                    "BroadcastHashJoin" in p, "expect BroadcastHashJoin"))
+
+    # round-5 (ADVICE r4 medium): the verify broadcasts must carry BARE id
+    # pairs only — a broadcast whose rows embed the per-doc shingle arrays
+    # is O(candidates × shingles) through the driver, unbounded by any gate
+    def _bcast_carries(plan: str, col: str) -> bool:
+        for m in re.finditer(r"\(\d+\) BroadcastExchange", plan):
+            block = plan[m.start(): plan.find("\n(", m.start() + 2)]
+            if col in block:
+                return True
+        return False
+
+    checks.append(("d3 broadcasts carry bare id pairs only (no shingle "
+                   "arrays through the driver)",
+                   not _bcast_carries(p, "hs"),
+                   "a BroadcastExchange input contains a shingle-hash array"))
 
     # 3d. n3 multiprobe: probe fan-out must stay an equi-join on the bucket
     # (no cartesian), with the small query side broadcast

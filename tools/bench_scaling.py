@@ -466,9 +466,11 @@ the fixed latency vanishes; the ~12k toy-bench number is a stage-latency
 floor, not a data-path limit. This is the evidence behind grading the
 engine's 15k bar as met-by-amortization: the data path sustains ~30k urls/s
 on this box the moment rounds are large enough to be data-bound.
-`bench.py` reports both regimes per round: `engine_urls_per_sec` (250k-cap
-toy, latency-floor) and `engine_urls_per_sec_capacity_bound` (1M-cap
-rounds over a 4M frontier).
+`bench.py` reports both regimes per round — and as of round 5 the
+CAPACITY-BOUND lane is the headline `engine_urls_per_sec` (1M-cap rounds
+over a 4M frontier, the regime that projects to 10^10-URL rounds), with the
+250k-cap toy lane kept as `engine_urls_per_sec_toy` (the stage-latency
+floor diagnostic).
 
 r01→r02's 4-5x came from removing the two per-round O(crawl-history) costs
 (full frontier rewrite → MOR deltas; full-seen Bloom rebuild → incremental
