@@ -375,11 +375,28 @@ def minhash_lsh_incremental(
         F.col("hs").alias("hs_n"),
         F.col("n_sh").alias("n_n"),
     ).join(F.broadcast(cand), "new_id")
-    b_half = sig_b.select(
+    # verify-side base signatures are RE-DERIVED over candidate docs only
+    # (semi-join the raw text first, shingle after): the full-corpus
+    # signature pass happens exactly once (the band-index scan above) —
+    # shingling 10^10 base docs twice per batch would double the dominant
+    # cost; shingling the LSH-collision-bounded candidate set is O(batch)
+    b_half = _array_signatures(
+        base.join(
+            F.broadcast(
+                cand.select(F.col("dup_of").alias(id_col)).distinct()
+            ),
+            id_col,
+            "left_semi",
+        ),
+        id_col,
+        text_col,
+        k,
+        num_hashes,
+    ).select(
         F.col("doc").alias("dup_of"),
         F.col("hs").alias("hs_b"),
         F.col("n_sh").alias("n_b"),
-    ).join(F.broadcast(cand.select("dup_of")), "dup_of", "left_semi")
+    )
     pairs = d_half.hint("shuffle_hash").join(b_half, "dup_of")
     verified = (
         pairs.withColumn("n_inter", F.size(F.array_intersect("hs_n", "hs_b")))

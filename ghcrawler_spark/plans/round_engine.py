@@ -1295,13 +1295,31 @@ class CrawlEngine:
         # deletion pays nothing; the table is deletion-rate-sized (rare), so
         # the per-round read is trivially bounded
         tomb_total_prev = manifest.get("tombstones_total", 0)
+        tomb_lookup = None
         if cfg.tombstones and (tomb_total_prev > 0 or tomb_new is not None):
-            try:
-                prev_t = self.store.read_appends(
-                    self.spark, "tombstones", version
-                )
-            except FileNotFoundError:
-                prev_t = self._empty(TOMBSTONE_SCHEMA)
+            # merge-on-read like every other state table: compacted base
+            # (bases['tombstones'], written on compaction rounds below) ∪
+            # deltas past it — the per-round fan-in is bounded by the
+            # compaction horizon, not crawl length
+            tomb_base = bases.get("tombstones")
+            if tomb_base is None:
+                try:
+                    prev_t = self.store.read_appends(
+                        self.spark, "tombstones", version
+                    )
+                except FileNotFoundError:
+                    prev_t = self._empty(TOMBSTONE_SCHEMA)
+            else:
+                prev_t = self.store.read(self.spark, "tombstones", tomb_base)
+                try:
+                    prev_t = prev_t.unionByName(
+                        self.store.read_appends(
+                            self.spark, "tombstones", version,
+                            from_version=tomb_base + 1,
+                        )
+                    )
+                except FileNotFoundError:
+                    pass
             all_t = (
                 prev_t if tomb_new is None else prev_t.unionByName(tomb_new)
             )
@@ -2088,6 +2106,14 @@ class CrawlEngine:
                 .agg(F.max("round").alias("round"), F.max("version").alias("version"))
             )
             new_bases["stored"] = rnd
+            if tomb_lookup is not None:
+                # tombstones compact with everything else: the base is the
+                # deduped (url, latest round) view, so readers union ≤
+                # compact_every delta dirs on top of it
+                full_tables["tombstones"] = tomb_lookup.select(
+                    "url", F.col("tomb_round").cast("int").alias("round")
+                )
+                new_bases["tombstones"] = rnd
         frontier_adds = new_rows_clean
         if ingested is not None:
             frontier_adds = ingested.unionByName(frontier_adds)

@@ -205,6 +205,7 @@ class SnapshotStore:
             ("deadletter_adds", bases.get("deadletter")),
             ("seen", bases.get("seen")),
             ("host_state_adds", bases.get("host_state")),
+            ("tombstones", bases.get("tombstones")),
         )
         for name, bv in mor:
             if bv is None:

@@ -81,7 +81,20 @@ def _logs(spark, store, sim):
         .select("seq", "round", "pop_seq", "url", "type", "tier", "host", "outcome")
         .collect()
     ]
-    eng_seen = {r.url for r in store.read_appends(spark, "seen").collect()}
+    # seen is merge-on-read once compaction crosses it: base ∪ deltas past
+    # the base (pre-base deltas may be gone after expire_snapshots)
+    base_v = (store.read_manifest().get("bases") or {}).get("seen")
+    if base_v is None:
+        seen_df = store.read_appends(spark, "seen")
+    else:
+        seen_df = store.read(spark, "seen", base_v)
+        try:
+            seen_df = seen_df.unionByName(
+                store.read_appends(spark, "seen", from_version=base_v + 1)
+            )
+        except FileNotFoundError:
+            pass
+    eng_seen = {r.url for r in seen_df.collect()}
     return eng_log, sim.order_log, eng_seen, sim.seen
 
 

@@ -400,3 +400,67 @@ def test_pagerank_deep_iteration_lineage_bounded(spark):
     from ghcrawler_spark.operators import graph as G
 
     assert G._CHECKPOINT_EVERY < 12
+
+
+def test_tombstone_compaction_and_expiry(spark, tmp_path):
+    """Tombstones ride the merge-on-read compaction cycle like every other
+    state table: past a compaction the lookup reads base ∪ deltas-past-base
+    (bounded fan-in), snapshot expiry may drop folded deltas, and a resumed
+    engine still honors the deletion."""
+    img = f"{H}/img/i1"
+    page = f"{H}/p"
+    links = {page: [("images", img, "image")]}
+    corpus = {img: "imgC"}
+    seeds = [{"url": page, "type": "page"}]
+    ingest = str(tmp_path / "staging")
+    os.makedirs(ingest)
+    cfg = {"round_capacity": 4, "bucket_capacity": 8, "bucket_fill": 8,
+           "inject_failures": False, "tombstones": True,
+           "ingest_dir": ingest, "compact_every": 2}
+    eng, store, sim, seeds_df = _build(spark, tmp_path, corpus, links, seeds, cfg)
+    eng.seed(seeds_df)
+    sim.seed(seeds)
+    for _ in range(2):
+        eng.run_round()
+        sim.run_round()
+
+    dele = [{"url": img, "type": "image", "event_ms": 1, "action": "deleted"}]
+    _stage(spark, ingest, dele)
+    sim.inject_events(dele)
+    # keep rounds turning (events keep an otherwise-drained frontier alive)
+    filler = [{"url": f"{H}/f{i}", "type": "page", "event_ms": 10 + i}
+              for i in range(4)]
+    _stage(spark, ingest, filler[:2])
+    sim.inject_events(filler[:2])
+    eng.run_round()
+    sim.run_round()
+    _stage(spark, ingest, filler[2:])
+    sim.inject_events(filler[2:])
+    for _ in range(3):
+        eng.run_round()
+        sim.run_round()
+
+    m = store.read_manifest()
+    assert m["bases"].get("tombstones") is not None, m["bases"]
+    # expiry folds pre-base tombstone deltas into the base
+    store.expire_snapshots(m["bases"]["frontier"])
+
+    # resume + revisit: the deletion is still respected from the compacted
+    # base (Deleted — the event policy rehydrates from storage)
+    del eng
+    eng2, _, _, _ = _build(spark, tmp_path, corpus, links, seeds, cfg)
+    rv = [{"url": img, "type": "image", "event_ms": 99}]
+    _stage(spark, ingest, rv)
+    sim.inject_events(rv)
+    for _ in range(4):
+        if not eng2.run_round():
+            break
+    for _ in range(4):
+        if not sim.run_round():
+            break
+    eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+    assert eng_log == sim_log
+    assert eng_seen == sim_seen
+    assert [r["outcome"] for r in eng_log if r["url"] == img] == [
+        "Processed", "Deleted"
+    ]
