@@ -139,6 +139,15 @@ def main() -> int:
     checks.append(("a2 cumulative window partitions by host (no global sort)",
                    "CartesianProduct" not in p and "host" in p, ""))
 
+    # 4c. s7 tombstone visibility (ROUND SPEC v5): the MOR last-writer-wins
+    # window must hash-partition on the doc key — a global (SinglePartition)
+    # window would serialize the whole store through one task at 10^10 docs
+    p = explain_str(qs["s7_tombstone_visibility"](spark, SF))
+    plans["s7_tombstone_visibility"] = p
+    checks.append(("s7 tombstone window partitions by key (no single-partition sort)",
+                   "hashpartitioning(user_id" in p
+                   and "Exchange SinglePartition" not in p, ""))
+
     # 6. flagship: windows partitioned on host / tier, no cartesian product
     p = explain_str(qs["flagship_crawl_round"](spark, SF))
     plans["flagship_crawl_round"] = p
