@@ -287,6 +287,16 @@ def main() -> int:
             print(f"sweep {sweep} level {cores}: {json.dumps(r)}")
             cur = results.get(cores)
             if cur is None or r["wall_sec"] < cur["wall_sec"]:
+                # keep the accumulated best MAP wall when the full wall
+                # improves: the two are timed independently, and replacing
+                # the whole dict silently discarded a better map sample
+                # (bug found 2026-08-19: level-8 map 28.698s lost to a
+                # 29.757s run whose FULL wall won)
+                if cur is not None and (
+                    cur.get("map_wall_sec", float("inf")) < r["map_wall_sec"]
+                ):
+                    r["map_wall_sec"] = cur["map_wall_sec"]
+                    r["map_urls_per_sec"] = cur["map_urls_per_sec"]
                 results[cores] = r
             cur = results[cores]
             # the map pass is timed independently: keep the best map wall
