@@ -49,7 +49,7 @@ from __future__ import annotations
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
+from dataclasses import asdict, dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -258,6 +258,25 @@ class CrawlConfig:
     rank_iters: int = 3
 
 
+# Options patchable on a RUNNING engine (routes/config.js:12-18 PATCH /config
+# → crawlerService.options[...]._config.apply — the reference patches crawler
+# and limiter options between loop iterations without a restart). Only pure
+# per-round parameters qualify: options that shape persisted state or
+# init-time structures (seen_filter, bloom geometry, robots deny table, the
+# rank-priority table, visitor/scenario maps) are fixed at engine
+# construction, exactly as the reference reconfigures providers only by
+# rebuilding the service. Every value here is JSON-scalar/dict, so the
+# manifest journal round-trips it losslessly.
+_RECONFIGURABLE = frozenset({
+    "tier_weights", "bucket_capacity", "bucket_fill", "round_capacity",
+    "max_attempts", "max_rounds", "compute_costs", "trait_budgets",
+    "type_traits", "bench_on_throttle", "bench_rounds", "measured_costs",
+    "exclude_not_found", "bailed_retry", "inject_failures",
+    "politeness_salt", "politeness_hot_threshold", "dedup_broadcast_max",
+    "shuffle_partitions", "compact_every",
+})
+
+
 def _path_col(url):
     p = F.regexp_extract(url, "://[^/]*(/.*)$", 1)
     return F.when(p == "", "/").otherwise(p)
@@ -357,6 +376,15 @@ class CrawlEngine:
         self.spark = spark
         self.store = store
         self.cfg = cfg or CrawlConfig()
+        # replay journaled live-config patches (update_config): a resumed
+        # engine constructed with the ORIGINAL config must see the options
+        # an operator patched mid-run, or resume would silently undo them
+        if store.current_version() is not None:
+            for p in store.read_manifest().get("config_patches", []):
+                self.cfg = replace(self.cfg, **p)
+        # patches applied before seed() have no manifest to journal into
+        # yet; they ride along in the seed commit instead
+        self._preseed_cfg_patches: list[dict] = []
         self.corpus = corpus
         # The link graph is static input joined on src_url EVERY round:
         # cache it pre-hashed on the join key so the planner reuses the
@@ -976,22 +1004,22 @@ class CrawlEngine:
                 fpr=self.cfg.bloom_fpr,
             )
         self._write_bloom(0, bloom)
-        self.store.commit(
-            0,
-            {
-                "next_seq": n_seeded,
-                "total_popped": 0,
-                "round": 0,
-                "frontier_size": n_seeded,
-                "bases": {
-                    "frontier": 0, "seen": None, "deadletter": 0,
-                    "stored": 0, "host_state": 0,
-                },
-                "bloom": _bloom_manifest(bloom, 0),
-                "ingested": {},
-                "docs_total": 0,
+        seed_extras = {
+            "next_seq": n_seeded,
+            "total_popped": 0,
+            "round": 0,
+            "frontier_size": n_seeded,
+            "bases": {
+                "frontier": 0, "seen": None, "deadletter": 0,
+                "stored": 0, "host_state": 0,
             },
-        )
+            "bloom": _bloom_manifest(bloom, 0),
+            "ingested": {},
+            "docs_total": 0,
+        }
+        if self._preseed_cfg_patches:
+            seed_extras["config_patches"] = list(self._preseed_cfg_patches)
+        self.store.commit(0, seed_extras)
         self._bloom, self._bloom_version = bloom, 0
         for f in persisted:
             f.unpersist()
@@ -2260,6 +2288,8 @@ class CrawlEngine:
             "docs_total": manifest.get("docs_total", 0) + hist.get("Processed", 0),
             "tombstones_total": tomb_total_prev + n_tomb,
         }
+        if manifest.get("config_patches"):
+            extras["config_patches"] = manifest["config_patches"]
         if cfg.measured_costs:
             if round_min is not None:
                 extras["cost_baseline"] = (
@@ -2330,6 +2360,8 @@ class CrawlEngine:
         }
         if "cost_baseline" in manifest:
             extras["cost_baseline"] = manifest["cost_baseline"]
+        if manifest.get("config_patches"):
+            extras["config_patches"] = manifest["config_patches"]
         extras.update(overrides)
         return extras
 
@@ -2399,6 +2431,49 @@ class CrawlEngine:
             if self._bloom_version == version:
                 self._bloom_version = rnd
         return rows
+
+    def describe_config(self) -> dict:
+        """GET /config analog (routes/config.js:20-28): the engine's LIVE
+        options — construction-time config plus every applied patch — as a
+        plain JSON-able dict (the route strips `_config`/`logger` internals;
+        the dataclass has none)."""
+        return asdict(self.cfg)
+
+    def update_config(self, **patch) -> dict:
+        """Live reconfiguration between rounds (routes/config.js:12-18
+        PATCH /config → crawlerService.options[key]._config.apply — the
+        reference patches crawler/limiter options on a RUNNING service).
+
+        Only ``_RECONFIGURABLE`` per-round parameters are patchable;
+        anything that shapes persisted state or init-time structures raises
+        ValueError (the reference, likewise, swaps providers only by
+        rebuilding the service). The patch takes effect from the NEXT round
+        and is JOURNALED in the manifest as its own admin commit, so a
+        killed run resumed with the ORIGINAL config replays the patched
+        values — the orphan-round replay then re-derives the identical
+        schedule. Returns the updated live config."""
+        bad = set(patch) - _RECONFIGURABLE
+        if bad:
+            raise ValueError(
+                f"not reconfigurable at runtime: {sorted(bad)}; "
+                "rebuild the engine to change structural options"
+            )
+        self.cfg = replace(self.cfg, **patch)
+        if self.store.current_version() is None:
+            self._preseed_cfg_patches.append(dict(patch))
+        else:
+            manifest = self.store.read_manifest()
+            version = manifest["current"]
+            rnd = manifest["round"] + 1
+            extras = self._carry_extras(manifest)
+            extras["config_patches"] = list(
+                manifest.get("config_patches", [])
+            ) + [dict(patch)]
+            self._carry_bloom(manifest, version, rnd, extras)
+            self.store.commit(rnd, extras)
+            if self._bloom_version == version:
+                self._bloom_version = rnd
+        return self.describe_config()
 
     def requeue_deadletters(self, url_filter: str | None = None) -> int:
         """Deadletter requeue API (lib/crawlerService.js:119-130 analog):
@@ -2473,6 +2548,8 @@ class CrawlEngine:
         }
         if "cost_baseline" in manifest:
             extras["cost_baseline"] = manifest["cost_baseline"]
+        if manifest.get("config_patches"):
+            extras["config_patches"] = manifest["config_patches"]
         if "bloom" in manifest:
             # blobs are per-version: carry the previous version's forward
             self._write_bloom(

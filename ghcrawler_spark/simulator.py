@@ -170,7 +170,7 @@ from __future__ import annotations
 import hashlib
 import hmac as _hmac
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 WEIGHT_SCALE = 2520
 TIER_WEIGHTS = {"events": 10, "immediate": 3, "soon": 2, "normal": 3, "later": 2}
@@ -456,6 +456,19 @@ class ReferenceSimulator:
         self.round = 0
         self.cost_baseline: int | None = None  # running min observed elapsed
         self._ranks: dict | None = None  # v5 rank_priority cache
+        self._seeded = False  # update_config round-bump gate (engine twin)
+
+    def update_config(self, **patch) -> None:
+        """Twin of CrawlEngine.update_config (routes/config.js:12-18 PATCH
+        /config): patch per-round options between rounds. The engine
+        journals each patch as its own snapshot commit, which OCCUPIES a
+        round number in its versioning (as every admin commit there does);
+        the twin bumps its round counter to match, so round-stamped state —
+        order-log round column, freshness ages, bench windows — stays
+        aligned. Pre-seed patches don't commit on the engine side either."""
+        self.cfg = replace(self.cfg, **patch)
+        if self._seeded:
+            self.round += 1
 
     def _rank(self, url: str) -> int:
         if self._ranks is None:
@@ -482,6 +495,7 @@ class ReferenceSimulator:
         return (self.cfg.type_traits or {}).get(type_, type_)
 
     def seed(self, seeds: list[dict]) -> None:
+        self._seeded = True
         for s in sorted(seeds, key=lambda x: (x.get("url") or "")):
             if is_malformed(s.get("url"), s.get("type")):
                 self.deadletter.append(

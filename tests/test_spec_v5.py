@@ -464,3 +464,133 @@ def test_tombstone_compaction_and_expiry(spark, tmp_path):
     assert [r["outcome"] for r in eng_log if r["url"] == img] == [
         "Processed", "Deleted"
     ]
+
+
+# -- live reconfiguration (routes/config.js PATCH /config) --------------------
+
+
+def _patch_fixture(spark, tmp_path, cfg_kw):
+    """Seed -> 6 pages -> 6 images, images 4..6 absent from the corpus (so
+    excludeNotFound has Missing rows to route)."""
+    links = {
+        f"{H}/a": [("pages", f"{H}/p{i}", "page") for i in range(1, 7)],
+        **{
+            f"{H}/p{i}": [("images", f"{H}/img/{i}", "image")]
+            for i in range(1, 7)
+        },
+    }
+    corpus = {f"{H}/img/{i}": f"img{i}" for i in range(1, 4)}
+    seeds = [{"url": f"{H}/a", "type": "page"}]
+    return _build(spark, tmp_path, corpus, links, seeds, cfg_kw)
+
+
+def test_config_patch_engine_matches_simulator(spark, tmp_path):
+    """Live reconfiguration (routes/config.js:12-18 PATCH /config →
+    crawlerService.options[key]._config.apply): an option patch between
+    rounds applies from the next round on BOTH engine and simulator —
+    identical order log, seen set, and per-round metrics across the change,
+    and the patch provably bites (post-patch rounds pop at most the new
+    capacity; a Missing url deadletters as excludeNotFound)."""
+    eng, store, sim, seeds_df = _patch_fixture(
+        spark, tmp_path,
+        {"round_capacity": 3, "bucket_capacity": 8, "bucket_fill": 8,
+         "inject_failures": False},
+    )
+    eng.seed(seeds_df)
+    sim.seed(seeds := [{"url": f"{H}/a", "type": "page"}])
+    for _ in range(2):
+        eng.run_round()
+        sim.run_round()
+    patch = {"round_capacity": 2, "bucket_capacity": 4, "bucket_fill": 2,
+             "exclude_not_found": True}
+    live = eng.update_config(**patch)
+    assert live["round_capacity"] == 2 and live["exclude_not_found"] is True
+    sim.update_config(**patch)
+    for _ in range(30):
+        if not eng.run_round():
+            break
+    for _ in range(30):
+        if not sim.run_round():
+            break
+    eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+    assert eng_log == sim_log
+    assert eng_seen == sim_seen
+    # the admin commit occupies round 3; crawl rounds resume at 4
+    post = [r for r in eng_log if r["round"] >= 4]
+    assert post, eng_log
+    per_round: dict = {}
+    for r in post:
+        per_round[r["round"]] = per_round.get(r["round"], 0) + 1
+    assert max(per_round.values()) <= 2
+    dls = {(r["url"], r["reason"]) for r in eng.current_deadletter().collect()}
+    assert (f"{H}/img/4", "excludeNotFound") in dls
+    assert {(d["url"], d["reason"]) for d in sim.deadletter} == dls
+    em = {r["round"]: r.asDict()
+          for r in store.read_appends(spark, "metrics").collect()}
+    sm = {m["round"]: m for m in sim.metrics}
+    assert set(em) == set(sm)
+    for rnd, m in sm.items():
+        for k in ("selected", "children", "requeued", "deadlettered",
+                  "frontier_after", "attenuated", "deferred", "bounced"):
+            assert em[rnd][k] == m[k], (rnd, k)
+
+
+def test_config_patch_survives_resume(spark, tmp_path):
+    """The patch journal: a killed run resumed with the ORIGINAL config
+    replays journaled patches (manifest `config_patches`), so resume
+    continues with the operator's live values instead of silently undoing
+    them — the resumed crawl matches the uninterrupted simulator."""
+    from ghcrawler_spark.plans.round_engine import CrawlConfig, CrawlEngine
+
+    orig_kw = {"round_capacity": 3, "bucket_capacity": 8, "bucket_fill": 8,
+               "inject_failures": False}
+    eng, store, sim, seeds_df = _patch_fixture(spark, tmp_path, dict(orig_kw))
+    links_df = eng.links  # pre-partitioned input is fine to re-wrap
+    corpus_df = eng.corpus
+    eng.seed(seeds_df)
+    sim.seed([{"url": f"{H}/a", "type": "page"}])
+    for _ in range(2):
+        eng.run_round()
+        sim.run_round()
+    patch = {"round_capacity": 2, "exclude_not_found": True}
+    eng.update_config(**patch)
+    sim.update_config(**patch)
+    eng.run_round()
+    sim.run_round()
+    del eng  # "kill"
+
+    # resume with the ORIGINAL config: the journal must reapply the patch
+    eng2 = CrawlEngine(spark, store, corpus_df, links_df,
+                       CrawlConfig(**orig_kw))
+    assert eng2.cfg.round_capacity == 2
+    assert eng2.cfg.exclude_not_found is True
+    assert eng2.describe_config()["round_capacity"] == 2
+    for _ in range(30):
+        if not eng2.run_round():
+            break
+    for _ in range(30):
+        if not sim.run_round():
+            break
+    eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+    assert eng_log == sim_log
+    assert eng_seen == sim_seen
+
+
+def test_config_patch_rejects_structural(spark, tmp_path):
+    """Structural options (seen-set kind, bloom geometry, robots, rank
+    tables) are fixed at engine construction — PATCHing one raises instead
+    of corrupting persisted state, mirroring the reference's
+    rebuild-the-service path for provider changes."""
+    import pytest
+
+    eng, _store, _sim, seeds_df = _patch_fixture(
+        spark, tmp_path, {"round_capacity": 3, "inject_failures": False}
+    )
+    eng.seed(seeds_df)
+    with pytest.raises(ValueError, match="not reconfigurable"):
+        eng.update_config(seen_filter="cuckoo")
+    with pytest.raises(ValueError, match="not reconfigurable"):
+        eng.update_config(bloom_shards=64)
+    # a rejected patch changes nothing and journals nothing
+    assert eng.cfg.seen_filter == "bloom"
+    assert "config_patches" not in _store.read_manifest()
