@@ -876,16 +876,19 @@ class CrawlEngine:
 
     # -- bootstrap ------------------------------------------------------------
 
-    def seed(self, seeds: DataFrame) -> None:
-        """Round 0: malformed-check (F3 → deadletter, lib/crawler.js:563-576),
-        robots-check, assign enqueue_seq, commit. Missing policy columns get
-        the reference's default policy (originStorage:match@/)."""
+    def _resolve_request_rows(
+        self, seeds: DataFrame, tier_default: str | None = None
+    ) -> DataFrame:
+        """Shared request-intake funnel head (seed + admin queue_requests):
+        optional policy SPEC strings (traversalPolicy.js:97-106) — a
+        `policy` column like "reprocess:relationOnly/crawl@/teams" resolves
+        ROW-LEVEL (request lists are data — codegen'd string split, never a
+        driver loop) to (fetch, freshness, scenario, path). Precedence:
+        explicit column > spec-resolved > graft default
+        (originStorage:match@/). ``tier_default`` fills rows with no tier
+        column/value (routes/requests.js:23 defaults the path param to
+        'normal')."""
         have = set(seeds.columns)
-        # optional policy SPEC strings (traversalPolicy.js:97-106): a
-        # `policy` column like "reprocess:relationOnly/crawl@/teams"
-        # resolves ROW-LEVEL (seed lists are data — codegen'd string split,
-        # never a driver loop) to (fetch, freshness, scenario, path).
-        # Precedence: explicit column > spec-resolved > graft default.
         spec = resolve_policy_cols("policy") if "policy" in have else None
         defaults = {
             "policy_fetch": ("fetch", F.lit("originStorage")),
@@ -902,9 +905,18 @@ class CrawlEngine:
                 parts.append(spec[field_])
             parts.append(d)
             policy_cols.append(F.coalesce(*parts).alias(c))
-        rows = seeds.select(
-            "url", "type", "tier", *policy_cols
+        tier_parts = ([F.col("tier")] if "tier" in have else []) + (
+            [F.lit(tier_default)] if tier_default is not None else []
         )
+        return seeds.select(
+            "url", "type", F.coalesce(*tier_parts).alias("tier"), *policy_cols
+        )
+
+    def seed(self, seeds: DataFrame) -> None:
+        """Round 0: malformed-check (F3 → deadletter, lib/crawler.js:563-576),
+        robots-check, assign enqueue_seq, commit. Missing policy columns get
+        the reference's default policy (originStorage:match@/)."""
+        rows = self._resolve_request_rows(seeds)
         malformed = rows.filter(_malformed_cond())
         base = rows.filter(~_malformed_cond()).select(
             "url",
@@ -2474,6 +2486,100 @@ class CrawlEngine:
             if self._bloom_version == version:
                 self._bloom_version = rnd
         return self.describe_config()
+
+    def queue_requests(self, requests: DataFrame, tier: str = "normal") -> dict:
+        """Admin enqueue (routes/requests.js:23-28 POST /requests/:queue →
+        crawlerService.queue): push NEW requests into a NAMED tier on a
+        RUNNING crawl. Same intake funnel as seed() — policy-spec
+        resolution, malformed → deadletter (F3), robots → excluded — plus
+        the tracker's in-flight dedup (a url already in the frontier
+        bounces, preserving the frontier's url-uniqueness invariant the
+        tracked queue enforces on push, redisRequestTracker.js:27).
+        Committed as its own snapshot round. Input columns: url, type
+        [, tier, policy, policy_fetch, policy_freshness, map_path,
+        map_name]; the ``tier`` argument fills rows with no tier value.
+        Returns {'queued', 'malformed', 'denied', 'bounced'} counts."""
+        manifest = self.store.read_manifest()
+        version = manifest["current"]
+        rnd = manifest["round"] + 1
+        next_seq = manifest["next_seq"]
+
+        rows = self._resolve_request_rows(requests, tier_default=tier)
+        malformed = rows.filter(_malformed_cond())
+        base = rows.filter(~_malformed_cond()).select(
+            "url",
+            "type",
+            "tier",
+            extract_host("url").alias("host"),
+            F.lit(0).cast("int").alias("attempt"),
+            "policy_fetch",
+            "policy_freshness",
+            "map_path",
+            "map_name",
+        )
+        allowed, denied = self._robots_allowed(base)
+        inflight = self._read_frontier(version, self._bases(manifest)).select(
+            "url"
+        )
+        fresh = allowed.join(inflight, "url", "left_anti")
+        persisted: list = []
+        adds = scalable_rank_by_key(
+            fresh, ["url"], "_rank", persisted=persisted
+        ).select(
+            "url",
+            "type",
+            "tier",
+            "host",
+            (F.lit(next_seq) + F.col("_rank")).cast("long").alias("enqueue_seq"),
+            F.col("attempt").cast("int"),
+            "policy_fetch",
+            "policy_freshness",
+            "map_path",
+            F.array().cast("array<string>").alias("history"),
+            F.lit(None).cast("string").alias("payload_id"),
+            root_urn(F.lit("host"), F.col("host")).alias("qualifier"),
+            "map_name",
+        )
+        n_new = adds.count()
+        n_allowed = allowed.count()
+        n_malformed = malformed.count()
+        n_denied = denied.count()
+        if n_new:
+            self.store.write_append(rnd, "frontier_adds", adds)
+        if n_malformed:
+            self.store.write_append(
+                rnd,
+                "deadletter_adds",
+                malformed.select(
+                    F.coalesce(F.col("url"), F.lit("")).alias("url"),
+                    F.coalesce(F.col("type"), F.lit("")).alias("type"),
+                    F.coalesce(F.col("tier"), F.lit("")).alias("tier"),
+                    F.lit(rnd).alias("round"),
+                    F.lit(0).cast("int").alias("attempt"),
+                    F.lit("malformed").alias("reason"),
+                ),
+            )
+        if n_denied:
+            self.store.write_append(
+                rnd, "excluded", denied.select("url", F.lit(rnd).alias("round"))
+            )
+        extras = self._carry_extras(
+            manifest,
+            next_seq=next_seq + n_new,
+            frontier_size=manifest["frontier_size"] + n_new,
+        )
+        self._carry_bloom(manifest, version, rnd, extras)
+        self.store.commit(rnd, extras)
+        if self._bloom_version == version:
+            self._bloom_version = rnd
+        for f in persisted:
+            f.unpersist()
+        return {
+            "queued": n_new,
+            "malformed": n_malformed,
+            "denied": n_denied,
+            "bounced": n_allowed - n_new,
+        }
 
     def requeue_deadletters(self, url_filter: str | None = None) -> int:
         """Deadletter requeue API (lib/crawlerService.js:119-130 analog):

@@ -533,6 +533,60 @@ class ReferenceSimulator:
                 )
             )
 
+    def queue_requests(self, specs: list[dict], tier: str = "normal") -> dict:
+        """Twin of CrawlEngine.queue_requests (routes/requests.js:23-28
+        POST /requests/:queue): push new requests into a named tier
+        mid-crawl — seed()'s intake funnel (policy specs, malformed →
+        deadletter, robots → excluded) plus the tracker's in-flight dedup;
+        urls already in the frontier bounce. The engine journals the push
+        as its own snapshot commit, so the twin bumps its round counter to
+        match (the deadletter/excluded stamps use the bumped round)."""
+        if self._seeded:
+            self.round += 1
+        inflight = {r.url for r in self.frontier}
+        queued = malformed = denied = bounced = 0
+        for s in sorted(specs, key=lambda x: (x.get("url") or "")):
+            if is_malformed(s.get("url"), s.get("type")):
+                self.deadletter.append(
+                    {"url": s.get("url") or "", "type": s.get("type") or "",
+                     "tier": s.get("tier") or tier, "round": self.round,
+                     "attempt": 0, "reason": "malformed"}
+                )
+                malformed += 1
+                continue
+            if self._denied(s["url"]):
+                self.excluded.append({"url": s["url"], "round": self.round})
+                denied += 1
+                continue
+            if s["url"] in inflight:
+                bounced += 1
+                continue
+            if s.get("policy"):
+                from ghcrawler_spark.plans.policy import resolve_policy
+
+                r_fetch, r_fresh, r_scen, _r_map, r_path = resolve_policy(
+                    s["policy"]
+                )
+            else:
+                r_fetch, r_fresh, r_scen, r_path = (
+                    "originStorage", "match", "default", "/",
+                )
+            self.next_seq += 1
+            self.frontier.append(
+                FrontierRow(
+                    url=s["url"], type=s["type"], tier=s.get("tier") or tier,
+                    host=host_of(s["url"]), enqueue_seq=self.next_seq,
+                    policy_fetch=s.get("policy_fetch") or r_fetch,
+                    policy_freshness=s.get("policy_freshness") or r_fresh,
+                    map_path=s.get("map_path") or r_path,
+                    qualifier=root_qualifier(s["url"]),
+                    map_name=s.get("map_name") or r_scen,
+                )
+            )
+            queued += 1
+        return {"queued": queued, "malformed": malformed, "denied": denied,
+                "bounced": bounced}
+
     def inject_events(self, events: list[dict]) -> None:
         """Stage webhook-style events; absorbed at the next round start.
         Each: {url, type, event_ms, payload_id?}."""

@@ -594,3 +594,67 @@ def test_config_patch_rejects_structural(spark, tmp_path):
     # a rejected patch changes nothing and journals nothing
     assert eng.cfg.seen_filter == "bloom"
     assert "config_patches" not in _store.read_manifest()
+
+
+def test_queue_requests_mid_crawl(spark, tmp_path):
+    """Admin enqueue (routes/requests.js:23-28 POST /requests/:queue →
+    crawlerService.queue): new requests enter a NAMED tier mid-crawl
+    through seed()'s intake funnel — malformed rows deadletter, robots-
+    denied rows land in excluded, urls already in flight bounce — and the
+    continued crawl stays engine == simulator on order log and seen set."""
+    links = {
+        f"{H}/a": [("pages", f"{H}/b", "page"), ("pages", f"{H}/c", "page")],
+    }
+    new_img = f"{H}/img/new1"
+    corpus = {new_img: "imgN"}
+    seeds = [{"url": f"{H}/a", "type": "page"}]
+    eng, store, sim, seeds_df = _build(
+        spark, tmp_path, corpus, links, seeds,
+        {"round_capacity": 2, "bucket_capacity": 8, "bucket_fill": 8,
+         "inject_failures": False,
+         "robots_deny": {"h1.test": ["/blocked"]}},
+    )
+    eng.seed(seeds_df)
+    sim.seed(seeds)
+    eng.run_round()
+    sim.run_round()  # pops a; children b, c now in flight
+
+    batch = [
+        {"url": new_img, "type": "image", "tier": "soon"},
+        {"url": f"{H}/blocked/x", "type": "page"},   # robots → excluded
+        {"url": None, "type": "image"},              # F3 → deadletter
+        {"url": f"{H}/b", "type": "page"},           # in flight → bounce
+    ]
+    req_df = spark.createDataFrame(
+        [(b["url"], b["type"], b.get("tier")) for b in batch],
+        "url string, type string, tier string",
+    )
+    eng_counts = eng.queue_requests(req_df, tier="normal")
+    sim_counts = sim.queue_requests(batch, tier="normal")
+    assert eng_counts == sim_counts
+    assert eng_counts == {"queued": 1, "malformed": 1, "denied": 1,
+                          "bounced": 1}
+
+    for _ in range(20):
+        if not eng.run_round():
+            break
+    for _ in range(20):
+        if not sim.run_round():
+            break
+    eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+    assert eng_log == sim_log
+    assert eng_seen == sim_seen
+    # the queued image rode the 'soon' tier and processed from the corpus
+    pops = [r for r in eng_log if r["url"] == new_img]
+    assert [(r["tier"], r["outcome"]) for r in pops] == [("soon", "Processed")]
+    # b was NOT double-enqueued by the bounced push
+    assert len([r for r in eng_log if r["url"] == f"{H}/b"]) == 1
+    # funnel side tables match, including the admin commit's round stamp
+    dls = {(r["url"], r["reason"], r["round"])
+           for r in eng.current_deadletter().collect()}
+    assert {(d["url"], d["reason"], d["round"]) for d in sim.deadletter} == dls
+    assert ("", "malformed", 2) in dls
+    excl = {(r["url"], r["round"])
+            for r in store.read_appends(spark, "excluded").collect()}
+    assert {(e["url"], e["round"]) for e in sim.excluded} == excl
+    assert (f"{H}/blocked/x", 2) in excl
