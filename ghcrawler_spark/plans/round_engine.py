@@ -2581,6 +2581,66 @@ class CrawlEngine:
             "bounced": n_allowed - n_new,
         }
 
+    def status(self) -> dict:
+        """GET /status analog (routes/status.js:10-20: the live,
+        non-configurable values): committed crawl state straight off the
+        manifest — no Spark jobs."""
+        manifest = self.store.read_manifest()
+        return {
+            "round": manifest["round"],
+            "version": manifest["current"],
+            "frontier_size": manifest["frontier_size"],
+            "total_popped": manifest["total_popped"],
+            "next_seq": manifest["next_seq"],
+            "docs_total": manifest.get("docs_total", 0),
+            "tombstones_total": manifest.get("tombstones_total", 0),
+        }
+
+    def queue_info(self, tier: str) -> dict:
+        """GET /queues/:name/info analog (routes/queues.js:19-29 →
+        crawlerService.getQueueInfo → the queue's getInfo()): one tier's
+        live depth + its rotation weight (queueSet.js metadata)."""
+        if tier not in self.cfg.tier_weights:
+            raise KeyError(f"unknown tier: {tier}")
+        count = (
+            self.current_frontier().filter(F.col("tier") == tier).count()
+        )
+        return {
+            "name": tier,
+            "count": count,
+            "weight": self.cfg.tier_weights[tier],
+        }
+
+    def delete_deadletters(self, url_filter: str | None = None) -> int:
+        """DELETE /deadletters/:urn without ?requeue
+        (routes/deadletters.js:30-37 → crawlerService.deleteDeadletter):
+        permanently drop deadletters (optionally only urls rlike
+        ``url_filter``) — the discard half of the requeue API. Compacts the
+        deadletter table in place as its own snapshot round; frontier and
+        every other table carry forward untouched."""
+        manifest = self.store.read_manifest()
+        version = manifest["current"]
+        rnd = manifest["round"] + 1
+        bases = self._bases(manifest)
+        dead = self._read_deadletter(version, bases)
+        if url_filter is not None:
+            keep = dead.filter(~F.col("url").rlike(url_filter))
+        else:
+            keep = dead.limit(0)
+        n_before = dead.count()
+        n_keep = keep.count()
+        if n_keep == n_before:
+            return 0
+        self.store.write_tables(rnd, {"deadletter": keep})
+        new_bases = dict(bases)
+        new_bases["deadletter"] = rnd
+        extras = self._carry_extras(manifest, bases=new_bases)
+        self._carry_bloom(manifest, version, rnd, extras)
+        self.store.commit(rnd, extras)
+        if self._bloom_version == version:
+            self._bloom_version = rnd
+        return n_before - n_keep
+
     def requeue_deadletters(self, url_filter: str | None = None) -> int:
         """Deadletter requeue API (lib/crawlerService.js:119-130 analog):
         move deadletters (optionally only urls rlike ``url_filter``) back

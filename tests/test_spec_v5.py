@@ -658,3 +658,50 @@ def test_queue_requests_mid_crawl(spark, tmp_path):
             for r in store.read_appends(spark, "excluded").collect()}
     assert {(e["url"], e["round"]) for e in sim.excluded} == excl
     assert (f"{H}/blocked/x", 2) in excl
+
+
+def test_admin_status_queue_info_delete_deadletters(spark, tmp_path):
+    """Remaining ops routes: GET /status (routes/status.js — live manifest
+    stats), GET /queues/:name/info (routes/queues.js:19-29 — tier depth +
+    weight), DELETE /deadletters/:urn without ?requeue
+    (routes/deadletters.js:30-37 — permanent discard, the non-requeue half
+    of the deadletter API)."""
+    import pytest
+
+    links = {
+        f"{H}/a": [("images", f"{H}/img/4", "image"),
+                   ("images", f"{H}/img/5", "image")],
+    }
+    seeds = [{"url": f"{H}/a", "type": "page"}]
+    eng, store, sim, seeds_df = _build(
+        spark, tmp_path, {}, links, seeds,
+        {"round_capacity": 8, "bucket_capacity": 8, "bucket_fill": 8,
+         "inject_failures": False, "exclude_not_found": True},
+    )
+    eng.seed(seeds_df)
+    eng.run_round()  # pops a; both images (missing from the corpus) queue
+
+    info = eng.queue_info("soon")
+    assert info == {"name": "soon", "count": 2, "weight": 2}
+    with pytest.raises(KeyError):
+        eng.queue_info("nope")
+
+    while eng.run_round():
+        pass
+    st = eng.status()
+    assert st["frontier_size"] == 0
+    assert st["total_popped"] == 3  # a + 2 images
+    assert st["docs_total"] == 0  # both images Missing
+    assert st["round"] == store.read_manifest()["round"]
+
+    dls = sorted(r["url"] for r in eng.current_deadletter().collect())
+    assert dls == [f"{H}/img/4", f"{H}/img/5"]
+    assert eng.delete_deadletters(url_filter="img/4$") == 1
+    assert [r["url"] for r in eng.current_deadletter().collect()] == [
+        f"{H}/img/5"
+    ]
+    assert eng.delete_deadletters() == 1
+    assert eng.current_deadletter().count() == 0
+    assert eng.delete_deadletters() == 0  # idempotent when empty
+    # the crawl state is untouched by the discards
+    assert eng.status()["frontier_size"] == 0
