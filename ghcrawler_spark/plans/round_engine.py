@@ -277,6 +277,20 @@ _RECONFIGURABLE = frozenset({
 })
 
 
+def inflight_bounce(batch: DataFrame, inflight_urls: DataFrame) -> DataFrame:
+    """Anti-join a SMALL admin batch against the unbounded frontier WITHOUT
+    exchanging the frontier (it is O(live crawl); an admin push is a
+    handful of rows): broadcast the batch into the frontier scan for a
+    map-side semi join, then broadcast the ≤batch-size hit set back for
+    the final anti-join — the same never-shuffle-the-big-side shape as the
+    seen-set exact confirm (operators/seen.py). Plan shape is pinned by
+    tools/audit_plans.py."""
+    hits = inflight_urls.join(
+        F.broadcast(batch.select("url")), "url", "left_semi"
+    )
+    return batch.join(F.broadcast(hits), "url", "left_anti")
+
+
 def _path_col(url):
     p = F.regexp_extract(url, "://[^/]*(/.*)$", 1)
     return F.when(p == "", "/").otherwise(p)
@@ -2521,8 +2535,10 @@ class CrawlEngine:
         inflight = self._read_frontier(version, self._bases(manifest)).select(
             "url"
         )
-        fresh = allowed.join(inflight, "url", "left_anti")
         persisted: list = []
+        allowed = allowed.persist()
+        persisted.append(allowed)
+        fresh = inflight_bounce(allowed, inflight)
         adds = scalable_rank_by_key(
             fresh, ["url"], "_rank", persisted=persisted
         ).select(

@@ -223,6 +223,29 @@ def main() -> int:
                    "expect 2+ BroadcastHashJoins (LeftSemi+LeftAnti), no SortMergeJoin"))
     tbl2.destroy()
 
+    # 7d. admin enqueue (queue_requests): the in-flight bounce must follow
+    # the same never-shuffle-the-big-side shape — the batch broadcasts into
+    # the frontier scan (LeftSemi) and the ≤batch hit set broadcasts back
+    # (LeftAnti); the frontier never exchanges
+    from ghcrawler_spark.plans.round_engine import inflight_bounce
+
+    batch = spark.range(0, 200).select(
+        F.concat(F.lit("http://q.test/u"), F.col("id").cast("string")
+                 ).alias("url"),
+        F.lit("image").alias("type"),
+    )
+    big_frontier = spark.range(0, 500_000).select(
+        F.concat(F.lit("http://q.test/u"), (F.col("id") * 3).cast("string")
+                 ).alias("url")
+    )
+    p = explain_str(inflight_bounce(batch, big_frontier))
+    plans["queue_requests_inflight_bounce"] = p
+    checks.append(("admin enqueue bounce broadcasts the batch; frontier never exchanges",
+                   "SortMergeJoin" not in p
+                   and p.count("BroadcastHashJoin") >= 2
+                   and "LeftSemi" in p and "LeftAnti" in p,
+                   "expect 2+ BroadcastHashJoins (LeftSemi+LeftAnti), no SortMergeJoin"))
+
     # 8. trait caps: budgeted traits go through the salted two-phase top-k
     # (pre-cut per (trait, salt) BEFORE the exact single-key trait window),
     # so no one-task window ever sorts the full polite set
