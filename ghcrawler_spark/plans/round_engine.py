@@ -235,8 +235,12 @@ class CrawlConfig:
     # race on the same SparkSession mid-round.
     shuffle_partitions: int | None = None
     # ROUND SPEC v5 (simulator.py module doc):
-    # excludeNotFound (lib/crawler.js:528-533): Missing rows straight to
-    # deadletter with reason 'excludeNotFound' instead of the attempt loop
+    # excludeNotFound (lib/crawler.js:528-533): Missing rows bypass the
+    # attempt loop entirely. Fidelity note: the reference's policy SKIPS
+    # STORING the 404 deadletter doc (storeDeadletter returns early); the
+    # graft records the row with reason 'excludeNotFound' instead — a
+    # strict superset for auditability (filter reason != 'excludeNotFound'
+    # to reproduce the reference's store contents exactly)
     exclude_not_found: bool = False
     # one elevated retry for permanent-class failures, then deadletter
     # 'Bailed' (githubFetcher.js:67-72)

@@ -28,6 +28,10 @@ v5 additions over v4 (round 5):
    a row whose origin fetch finds nothing (outcome Missing) goes STRAIGHT to
    the deadletter with reason 'excludeNotFound' in the same round — it still
    logs Missing and completes into the seen set, but never burns attempts.
+   (Fidelity note: the reference's policy SKIPS STORING the 404 deadletter
+   doc; the graft records the row with that reason instead — a strict
+   superset for auditability. Filter reason != 'excludeNotFound' to get the
+   reference's store contents.)
  - ``bailed_retry`` (githubFetcher.js:67-72): when set, a PERMANENT-class
    failure gets exactly ONE retry (the reference's single elevated-token
    retry) and then deadletters with reason 'Bailed' (outcome ``Bailed``,
