@@ -187,6 +187,102 @@ def knn_join(
     )
 
 
+def centroid_array(centroids: list) -> Column:
+    """A LITERAL array<struct<cid,cv>> of (cid, [float,...]) centroids —
+    nlist entries embedded straight into the plan so assignment needs no
+    join (and therefore no shuffle) at any corpus size."""
+    return F.array(*[
+        F.struct(
+            F.lit(int(cid)).alias("cid"),
+            F.array(*[F.lit(float(x)).cast("float") for x in vec]).alias("cv"),
+        )
+        for cid, vec in centroids
+    ])
+
+
+def nearest_centroid(cent_arr: Column, vec: Column) -> Column:
+    """Map-only nearest-centroid assignment: fold over the literal centroid
+    array keeping the best (rounded-cosine desc, cid asc) — the
+    deterministic tie-break both Spark and the SQL oracle share."""
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(
+                dot(vec, c["cv"]) / (norm(vec) * norm(c["cv"])),
+                COSINE_ROUND,
+            ).alias("s"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.aggregate(
+        scored,
+        F.struct(F.lit(-2.0).alias("s"), F.lit(-1).alias("cid")),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
+    )["cid"]
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list,
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space, then prune near-duplicates WITHIN each
+    cluster only — the clustering is what turns the O(N²) all-pairs cosine
+    into per-cluster joins, exactly the trick the paper uses at LAION scale.
+
+    Spark shape: nearest-centroid assignment is the same map-only literal-
+    array fold as IVF (no shuffle); the within-cluster pair generation is a
+    single equi-join on ``cid`` (each vector shuffles ONCE, partitioned by
+    cluster); a vector is dropped when a LOWER-id vector in its cluster has
+    rounded cosine ≥ ``eps`` (the paper keeps one representative per
+    epsilon-ball; lowest id is the deterministic choice both engines agree
+    on). Returns every input id with (cid, kept).
+
+    At 10^10 rows the quadratic term is bounded by the largest cluster —
+    real deployments size nlist so clusters hold ~10^4-10^5 vectors, and the
+    equi-join's per-cluster work stays in one task's memory."""
+    cent_arr = centroid_array(centroids)
+    a = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        nearest_centroid(cent_arr, F.col(vec_col)).alias("cid"),
+    )
+    lhs = a.select(
+        F.col("vec_id").alias("_id_hi"), F.col("_v").alias("_v_hi"), "cid"
+    )
+    rhs = a.select(
+        F.col("vec_id").alias("_id_lo"), F.col("_v").alias("_v_lo"), "cid"
+    )
+    dropped = (
+        lhs.join(rhs, "cid")
+        .filter(F.col("_id_lo") < F.col("_id_hi"))
+        .filter(
+            F.round(
+                dot(F.col("_v_hi"), F.col("_v_lo"))
+                / (norm(F.col("_v_hi")) * norm(F.col("_v_lo"))),
+                COSINE_ROUND,
+            )
+            >= eps
+        )
+        .select(F.col("_id_hi").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a.join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def ann_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -213,34 +309,8 @@ def ann_ivf(
     ~nprobe/nlist of the corpus. Assignment ties (4dp-rounded cosine) break
     on the smaller cid, keeping Spark and the SQL oracle deterministic.
     """
-    cent_arr = F.array(*[
-        F.struct(
-            F.lit(int(cid)).alias("cid"),
-            F.array(*[F.lit(float(x)).cast("float") for x in vec]).alias("cv"),
-        )
-        for cid, vec in centroids
-    ])
-
-    def _nearest(vec_col_: Column) -> Column:
-        # fold over the centroid array keeping the best (score desc, cid asc)
-        scored = F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                F.round(
-                    dot(vec_col_, c["cv"]) / (norm(vec_col_) * norm(c["cv"])),
-                    COSINE_ROUND,
-                ).alias("s"),
-                c["cid"].alias("cid"),
-            ),
-        )
-        return F.aggregate(
-            scored,
-            F.struct(F.lit(-2.0).alias("s"), F.lit(-1).alias("cid")),
-            lambda acc, x: F.when(
-                (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
-                x,
-            ).otherwise(acc),
-        )["cid"]
+    cent_arr = centroid_array(centroids)
+    _nearest = lambda vc: nearest_centroid(cent_arr, vc)  # noqa: E731
 
     c = corpus.select(
         F.col(id_col).alias("vec_id"),

@@ -1432,6 +1432,71 @@ def d7_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d11_semdedup",
+    f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding,
+                            x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT))
+      FROM embeddings WHERE vec_id < 30
+    ),
+    cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+             WHERE vec_id < {_IVF_NLIST}),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT a.vec_id, a.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {{cos_ac}} DESC, c.cid ASC
+               ) AS arn
+        FROM aug a, cent c
+      ) WHERE arn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT hi.vec_id
+      FROM assign hi JOIN assign lo
+        ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+      WHERE {{cos_hl}} >= 0.999
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+           (d.vec_id IS NULL) AS kept
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """.format(
+        cos_ac=V.cosine_sql("a.embedding", "c.cv"),
+        cos_hl=V.cosine_sql("hi.embedding", "lo.embedding"),
+    ),
+)
+def d11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings by
+    nearest centroid (the IVF assignment fold — map-only), then prune
+    near-duplicates WITHIN clusters only, keeping the lowest id per
+    epsilon-ball. The random fixture has no natural semantic dups, so 30
+    scaled copies (cosine 1.0, scale-invariant → same cluster) are planted
+    in-query, mirroring d5's pattern. Clustering bounds the quadratic term
+    to per-cluster joins — the paper's trick for LAION-scale corpora."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < _IVF_NLIST)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    planted = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.5).cast("float")).cast("float")
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(planted)
+    out = S.semantic_dedup(aug, cent, eps=0.999)
+    return out.select(
+        "vec_id", F.col("cid").cast("long").alias("cid"), "kept"
+    )
+
+
 @register("v1_image_validation", None)  # binary pipeline — rows-only check
 def v1_image_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 / north_rule per-row invariant as a driver-gate entry: decode the

@@ -161,3 +161,49 @@ def test_ivf_matches_numpy_replay(spark):
         assert [vid for _, vid, _ in rows] == order, qid
         for _, vid, score in rows:
             assert abs(score - scores[vid]) < 2e-4, (qid, vid)
+
+
+def test_semantic_dedup_matches_numpy(spark):
+    """SemDeDup (Abbas et al. 2023): nearest-centroid clustering + within-
+    cluster epsilon-ball pruning matches a numpy replay exactly — planted
+    scaled copies (cosine 1.0, scale-invariant → same cluster) are dropped,
+    their originals kept, and no cross-cluster pair is ever considered."""
+    from ghcrawler_spark.operators.similarity import semantic_dedup
+
+    df, v = _corpus(spark, n=60)
+    nlist, eps = 8, 0.999
+    cents = [(i, v[i].tolist()) for i in range(nlist)]
+    dup_src = list(range(10, 20))
+    planted = [(1000 + i, (v[i] * np.float32(0.5)).tolist()) for i in dup_src]
+    aug = df.union(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    )
+    got = {
+        r["vec_id"]: (r["cid"], r["kept"])
+        for r in semantic_dedup(aug, cents, eps=eps).collect()
+    }
+    assert len(got) == 70
+
+    # numpy replay with the same rounded-cosine + lowest-cid tie-break
+    allv = {i: v[i] for i in range(60)}
+    allv.update({1000 + i: v[i] * np.float32(0.5) for i in dup_src})
+    cn = np.linalg.norm(v[:nlist], axis=1)
+
+    def assign(x):
+        s = np.round((v[:nlist] @ x) / (cn * np.linalg.norm(x)), 4)
+        return min(range(nlist), key=lambda c: (-s[c], c))
+
+    cid = {i: assign(x) for i, x in allv.items()}
+    dropped = set()
+    for i, x in allv.items():
+        for j, y in allv.items():
+            if j < i and cid[j] == cid[i]:
+                c = round(float(x @ y) / float(np.linalg.norm(x) * np.linalg.norm(y)), 4)
+                if c >= eps:
+                    dropped.add(i)
+    for i in allv:
+        assert got[i] == (cid[i], i not in dropped), i
+    # every planted copy landed in its original's cluster and was dropped
+    for i in dup_src:
+        assert cid[1000 + i] == cid[i]
+        assert got[1000 + i][1] is False and got[i][1] is True
