@@ -46,6 +46,7 @@ HEADLINE = [
     "t6_domain_mix",
     "d10_incremental_dedup",
     "n5_knn_join",
+    "d11_semdedup",
 ]
 
 

@@ -190,14 +190,21 @@ def knn_join(
 def centroid_array(centroids: list) -> Column:
     """A LITERAL array<struct<cid,cv>> of (cid, [float,...]) centroids —
     nlist entries embedded straight into the plan so assignment needs no
-    join (and therefore no shuffle) at any corpus size."""
-    return F.array(*[
-        F.struct(
-            F.lit(int(cid)).alias("cid"),
-            F.array(*[F.lit(float(x)).cast("float") for x in vec]).alias("cv"),
+    join (and therefore no shuffle) at any corpus size.
+
+    Built as ONE SQL expression string parsed JVM-side: the per-element
+    Column API (F.lit per float) costs a py4j round-trip per literal —
+    nlist×dim of them put SECONDS of driver latency into plan construction
+    before a single task runs. Python float repr round-trips exactly, and
+    CAST(<repr> AS FLOAT) lands on the identical float32, so values are
+    bit-equal to the old form (and to the DuckDB oracle's)."""
+    parts = []
+    for cid, vec in centroids:
+        arr = ", ".join(f"CAST({float(x)!r} AS FLOAT)" for x in vec)
+        parts.append(
+            f"named_struct('cid', {int(cid)}, 'cv', array({arr}))"
         )
-        for cid, vec in centroids
-    ])
+    return F.expr("array(" + ", ".join(parts) + ")")
 
 
 def nearest_centroid(cent_arr: Column, vec: Column) -> Column:
@@ -253,6 +260,12 @@ def semantic_dedup(
         F.col(vec_col).alias("_v"),
         nearest_centroid(cent_arr, F.col(vec_col)).alias("cid"),
     )
+    # cut the lineage: the nlist×dim literal centroid array is a ~10^3-node
+    # expression tree and `a` appears three times below — without the cut
+    # Catalyst re-analyzes the tree per occurrence (seconds of DRIVER time
+    # dwarfing the sub-second execution), and the fold itself would
+    # recompute per branch. One eager materialization fixes both.
+    a = a.localCheckpoint(eager=True)
     lhs = a.select(
         F.col("vec_id").alias("_id_hi"), F.col("_v").alias("_v_hi"), "cid"
     )
