@@ -330,6 +330,22 @@ def main() -> int:
                        ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")),
                    "expect an equi-join on bucket"))
 
+    # d11 semdedup: the epsilon-ball prune must stay a per-cluster EQUI-JOIN
+    # on cid (SemDeDup's whole point — the clustering bounds the quadratic
+    # term); a CartesianProduct here would mean the all-pairs cosine the
+    # operator exists to avoid. The nearest-centroid assignment is an eager
+    # localCheckpoint inside the operator, so the audited plan is the
+    # downstream join shape (checkpoint scans ⋈ cid), which is exactly the
+    # part whose scale discipline matters.
+    p = explain_str(qs["d11_semdedup"](spark, SF))
+    plans["d11_semdedup"] = p
+    checks.append(("d11 semdedup prune is a per-cluster equi-join on cid (no cartesian)",
+                   "CartesianProduct" not in p
+                   and "cid" in p
+                   and any(j in p for j in
+                           ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")),
+                   "expect an equi-join keyed on cid; all-pairs cosine is the failure"))
+
     # g1: fixed-point pagerank — every iteration must be an equi-join +
     # aggregate; the only nested-loop joins allowed are the 1-row
     # consts/dangling broadcasts (a CartesianProduct would mean the node

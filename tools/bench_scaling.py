@@ -471,6 +471,37 @@ window (closed-form interleave), no driver-side loops, shuffle keys are
 fixed-width hashes, and the only collects are bucket-count matrices and
 Bloom shard blobs (KBs-MBs).
 
+### Per-phase attribution (measured, not asserted)
+
+`tools/bench_phase_scaling.py` cuts the pipeline at stage boundaries (same
+frozen input, fresh JVM per level, best-of-3 per cut; measured 2026-08-19
+quiet era, canary 1.06s):
+
+| phase | wall local[2] (s) | wall local[8] (s) | phase efficiency 2->8 |
+|---|---|---|---|
+| compute probe (md5+canonicalize ALL rows, standalone) | 90.00 | 26.13 | 0.861 |
+| scan + politeness top-k (host_hash exchange) | 38.40 | 10.73 | 0.895 |
+| + closed-form rotation (persist + counts + rank buckets) | 41.47 | 10.75 | 0.964 |
+| + md5 on survivors + Bloom merge/probe + exact confirm | 17.88 | 9.66 | 0.463 |
+
+(The compute probe is standalone, not a chain prefix: the real plan prunes
+the md5 out of the politeness window and computes it only for the ~4.3M
+post-top-k survivors.) The sub-linearity is confined to the LAST section —
+solving delta = parallel/cores + serial gives ~7s of serial-equivalent
+cost there, which is exactly the section's fixed per-round driver work:
+the Bloom delta-blob collect + driver OR-fold + ~10MB filter re-broadcast,
+plus this miniature's shuffle-confirm of 4.3M suspects against the 8M-key
+seen side under a single box's memory bandwidth. Both costs are fixed per
+ROUND (not per URL) and delta-bounded; on a real cluster the re-broadcast
+is a torrent fan-out and the confirm's seen side shards across nodes. More
+to the point, the engine ALREADY removes this serial section at scale: when
+the filter exceeds `bloom_broadcast_max_bytes` (64 MB) the auto mode flips
+to the shard-local `BloomShardTable`, whose per-round fold is a cogroup —
+no blob ever passes through the driver (pinned by tools/audit_plans.py).
+The miniature deliberately measures the broadcast variant because at its
+8M-key size that IS the engine's chosen plan. The two shuffle-bearing
+phases (top-k 0.895, rotation 0.964) scale fine even on this box.
+
 ## Engine round throughput (bench.py `engine_rounds_1m`)
 
 Full snapshot-committing crawl rounds (seed 1M URLs over 10k hosts, three
@@ -488,6 +519,7 @@ writes, manifest commit):
 | r04 final (round-scoped shuffle partitions sized to round volume; engine warm-up + clearCache/GC isolation in bench.py; enqueue totals fused into the cache-fill job) | 13,886 | tools/bench_engine_only.py, canary 1.03s but job-latency probe 0.40-0.45s (elevated); same code 9.9-10.9k before the sp fix in the same era. In-suite engine wall 96s → 62s from the GC isolation alone |
 | r04 final, quiet-era full-suite run (canary 0.98s, 2026-08-18 04:10) | 15,840 toy / 32,925 capacity-bound | bench.py in-suite: engine_rounds_1m 47.3s, d3 1.478s (<2s bar met), flagship 0.93s, suite 130.6s — the r04-final engine code clears the 15k toy bar outright when the host is quiet |
 | r05 (tombstone flow joined to the MOR compaction cycle; bounced/Bailed/excludeNotFound lanes; optional rank_priority) | 22,454 and 24,399 capacity-bound / 12,366 and 12,749 toy | two back-to-back full-suite runs, 2026-08-19 13:08 + 13:27 (probe 0.241/0.249s — quiet scheduler). Run 1: d3 3.36s, d5 6.50s; run 2, same code ~20 min later: d3 1.855s (<2s bar met), d5 2.16s, suite 164.9s vs 185.0s — min-of-2 inside one suite still samples that suite's GC era for the multi-second LSH lanes, which is why bench.py now heap-isolates (clearCache+GC) and runs best-of-3 for d3/d5 specifically. Standalone same-era microbench: d3 1.7-2.0s, d5 ~2.0s |
+| r05 quiet-era full-suite run (2026-08-19 21:15, probe 0.251s) | **37,013 capacity-bound / 16,116 toy — the 15k toy bar met in a full official-style suite** | suite 121.1s (r4 official: 184.2s); engine_rounds_1m 46.5s, capacity rounds 54.0s; d3 1.479s, d5 1.876s, flagship 0.963s, d10 2.226s (r4: 4.44s), n5 1.994s (r4: 3.19s), v1 bulk 1.682s / 951 images/sec — every lane at its best-so-far in one run, on the same code as the 13:08/13:27 rows: the spread is the host's era noise, the heap-isolated best-of-3 lanes hold their bars in both eras |
 
 **Fixed-overhead amortization (measured 2026-08-17, quiet host, load
 0.04):** the per-round cost is dominated by fixed per-job/stage driver
