@@ -47,6 +47,7 @@ HEADLINE = [
     "d10_incremental_dedup",
     "n5_knn_join",
     "d11_semdedup",
+    "v3_image_quality_gate",
 ]
 
 

@@ -268,3 +268,50 @@ def validate_against_reference(
         )
         .drop("_ref_bytes", "_ref_fmt", "_ref_caption")
     )
+
+
+def curation_gates(
+    w: Column,
+    h: Column,
+    fmt: Column,
+    caption: Column,
+    *,
+    min_side: int = 200,
+    max_aspect: int = 3,
+    fmt_allow: tuple[str, ...] = ("png", "jpeg"),
+    min_tokens: int = 5,
+    min_chars: int = 20,
+    max_chars: int = 2048,
+) -> dict[str, Column]:
+    """LAION/DataComp-style image-corpus curation gates over the metadata
+    columns of the input_hint image table (image_id, bytes, w, h, fmt,
+    caption, phash): resolution floor, aspect-ratio band, format allow-list,
+    caption token/length window (LAION-400M §3.1's filtering recipe).
+
+    Pure Column expressions — the pixels never load. At 100 TB this is the
+    cheap first cut that discards most rows before any decode job runs, so
+    it must stay map-only with the (w, h, fmt) columns pruned straight off
+    the parquet scan (pinned by tools/audit_plans.py). The aspect gate uses
+    integer math (greatest <= max_aspect * least) so the predicate is exact
+    across engines — no float division.
+
+    Returns named gate Columns plus the conjunction ``kept``; callers alias
+    and select (dict, not struct, so each gate lands as a top-level column).
+    """
+    from ghcrawler_spark.functions import text as _text
+
+    n_tok = _text.token_count_ws(caption)
+    res_ok = (w >= F.lit(min_side)) & (h >= F.lit(min_side))
+    aspect_ok = F.greatest(w, h) <= F.lit(max_aspect) * F.least(w, h)
+    fmt_ok = fmt.isin(*fmt_allow)
+    caption_gate_ok = (n_tok >= F.lit(min_tokens)) & F.length(caption).between(
+        min_chars, max_chars
+    )
+    return {
+        "caption_tokens": n_tok.cast("long"),
+        "res_ok": res_ok,
+        "aspect_ok": aspect_ok,
+        "fmt_ok": fmt_ok,
+        "caption_gate_ok": caption_gate_ok,
+        "kept": res_ok & aspect_ok & fmt_ok & caption_gate_ok,
+    }

@@ -1586,6 +1586,71 @@ def v2_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.phash_neardup(base.unionByName(flipped)).orderBy("id_a", "id_b")
 
 
+# same CASE text is valid Spark SQL and DuckDB SQL — one source of truth
+_V3_FMT_SQL = (
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
+    "WHEN 2 THEN 'gif' ELSE 'bmp' END"
+)
+
+
+@register(
+    "v3_image_quality_gate",
+    f"""
+    WITH meta AS (
+      SELECT doc_id AS image_id,
+             CAST(64 + (doc_id * 53) % 4000 AS INT) AS w,
+             CAST(64 + (doc_id * 97) % 4000 AS INT) AS h,
+             {_V3_FMT_SQL} AS fmt,
+             text AS caption
+      FROM documents
+    ),
+    g AS (
+      SELECT image_id, w, h, fmt,
+             CAST({T.token_count_ws_sql('caption')} AS BIGINT)
+               AS caption_tokens,
+             (w >= 200 AND h >= 200) AS res_ok,
+             (greatest(w, h) <= 3 * least(w, h)) AS aspect_ok,
+             (fmt IN ('png', 'jpeg')) AS fmt_ok,
+             ({T.token_count_ws_sql('caption')} >= 5
+              AND length(caption) BETWEEN 20 AND 2048) AS caption_gate_ok
+      FROM meta
+    )
+    SELECT image_id, w, h, fmt, caption_tokens,
+           res_ok, aspect_ok, fmt_ok, caption_gate_ok,
+           (res_ok AND aspect_ok AND fmt_ok AND caption_gate_ok) AS kept
+    FROM g
+    """,
+)
+def v3_image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION/DataComp-style image curation gates (the metadata-only first
+    cut of an image-corpus pipeline): resolution floor, aspect-ratio band,
+    format allow-list, caption token/length window — over the input_hint
+    image-table shape (w, h, fmt, caption). The testdata has no image table,
+    so (w, h, fmt) are synthesized deterministically from doc_id (the
+    v2/m1 pattern) while the caption is the real documents.text column;
+    functions/images.curation_gates is the operator a real corpus's
+    metadata columns feed. Map-only by construction — at 100 TB this gate
+    discards most rows before any pixel decode job runs (plan pinned by
+    tools/audit_plans.py)."""
+    from ghcrawler_spark.functions import images as I
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select(
+        F.col("doc_id").alias("image_id"),
+        (F.lit(64) + (F.col("doc_id") * 53) % 4000).cast("int").alias("w"),
+        (F.lit(64) + (F.col("doc_id") * 97) % 4000).cast("int").alias("h"),
+        F.expr(_V3_FMT_SQL).alias("fmt"),
+        F.col("text").alias("caption"),
+    )
+    gates = I.curation_gates(
+        F.col("w"), F.col("h"), F.col("fmt"), F.col("caption")
+    )
+    return meta.select(
+        "image_id", "w", "h", "fmt",
+        *[expr.alias(name) for name, expr in gates.items()],
+    )
+
+
 @register(
     "m1_audio_features",
     """

@@ -132,3 +132,46 @@ def test_real_jpeg_roundtrip_and_guards():
         jpeg_decode(bytes(prog))
     with _pytest.raises(ValueError):
         jpeg_decode(b"not a jpeg at all")
+
+
+def test_curation_gates_each_gate_fires_independently(spark):
+    """v3 lane: every gate trips on exactly the row crafted to violate it,
+    and only the clean row survives the conjunction."""
+    from pyspark.sql import functions as F
+
+    from ghcrawler_spark.functions.images import curation_gates
+
+    good_caption = "a photograph of a small red boat on a calm lake"
+    rows = [
+        # (id, w, h, fmt, caption, expect: which gate fails — None = kept)
+        (0, 800, 600, "png", good_caption, None),
+        (1, 100, 250, "png", good_caption, "res_ok"),       # w below floor
+        (2, 400, 150, "jpeg", good_caption, "res_ok"),      # h below floor
+        (3, 2000, 400, "png", good_caption, "aspect_ok"),   # 5:1 panorama
+        (4, 800, 600, "gif", good_caption, "fmt_ok"),       # disallowed fmt
+        (5, 800, 600, "png", "tiny caption here", "caption_gate_ok"),  # <5 tok
+        (6, 800, 600, "png", "a b c d e", "caption_gate_ok"),  # <20 chars
+        (7, 800, 600, "jpeg", "x " * 2000, "caption_gate_ok"),  # >2048 chars
+        # boundary rows: exactly at the limits must PASS
+        (8, 200, 200, "png", good_caption, None),           # floor exactly
+        (9, 600, 200, "jpeg", good_caption, None),          # aspect exactly 3
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+        "image_id long, w int, h int, fmt string, caption string",
+    )
+    gates = curation_gates(
+        F.col("w"), F.col("h"), F.col("fmt"), F.col("caption")
+    )
+    out = {
+        r["image_id"]: r
+        for r in df.select(
+            "image_id", *[v.alias(k) for k, v in gates.items()]
+        ).collect()
+    }
+    for rid, _w, _h, _fmt, _cap, failing in rows:
+        got = out[rid]
+        assert got["kept"] == (failing is None), f"row {rid}"
+        for gate in ("res_ok", "aspect_ok", "fmt_ok", "caption_gate_ok"):
+            assert got[gate] == (gate != failing), f"row {rid} gate {gate}"
+    assert out[0]["caption_tokens"] == len(good_caption.split())

@@ -294,7 +294,11 @@ def main() -> int:
     # shingle set must broadcast (the corpus side never builds a hash table
     # of itself); d8's only shuffled payload is fixed-width (doc_id, hash) —
     # the text column must not cross an Exchange.
-    for cq in ("t4_pii_scrub", "t5_gopher_repetition", "t6_domain_mix"):
+    # v3 joins the lane in round 5: the LAION-style metadata gate must stay
+    # map-only — at 100 TB it runs before any pixel decode, so an Exchange
+    # here would shuffle the whole corpus to answer a per-row predicate.
+    for cq in ("t4_pii_scrub", "t5_gopher_repetition", "t6_domain_mix",
+               "v3_image_quality_gate"):
         p = explain_str(qs[cq](spark, SF))
         plans[cq] = p
         checks.append((f"{cq} is map-only (no Exchange)", "Exchange" not in p, ""))
