@@ -427,8 +427,8 @@ Full pipeline (selection incl. two shuffles + Bloom + anti-join):
 | local[{n4}] (4N) | {results[n4]['wall_sec']} | {tp_4n:,.0f} | {results[n4]['map_wall_sec']} | {results[n4]['map_urls_per_sec']:,.0f} |
 | local[{EXTRA_LEVELS[0]}] (info) | {results[EXTRA_LEVELS[0]]['wall_sec']} | {results[EXTRA_LEVELS[0]]['urls_per_sec']:,.0f} | {results[EXTRA_LEVELS[0]]['map_wall_sec']} | {results[EXTRA_LEVELS[0]]['map_urls_per_sec']:,.0f} |
 
-- **Full-pipeline scaling efficiency ({n} -> {n4} cores): {eff}**; ({hi} -> {hi4} cores): {eff_hi}
-- **Compute-path scaling efficiency ({n} -> {n4} cores): {map_eff}**; ({hi} -> {hi4} cores): {map_eff_hi} (target >= 0.8)
+- **Full-pipeline scaling efficiency ({n} -> {n4} cores): {eff}** (target >= 0.8); ({hi} -> {hi4} cores, info): {eff_hi}
+- **Compute-path scaling efficiency ({n} -> {n4} cores): {map_eff}** (target >= 0.8); ({hi} -> {hi4} cores, info): {map_eff_hi}
 
 Each level's row is its best pass over all sweeps of the frozen workload
 (in-session 4x repeats × interleaved sweeps × invocations; measured_at per
