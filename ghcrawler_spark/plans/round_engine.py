@@ -295,6 +295,29 @@ def inflight_bounce(batch: DataFrame, inflight_urls: DataFrame) -> DataFrame:
     return batch.join(F.broadcast(hits), "url", "left_anti")
 
 
+def _dedupe_batch_urls(rows: DataFrame) -> DataFrame:
+    """Intra-batch url dedup, first-wins by the resolved attribute tuple.
+
+    The reference's tracked push tags a url on its FIRST push, so a second
+    copy of the same url in the SAME batch bounces off the tag
+    (redisRequestTracker.js:21-27 track-then-push) — without this, a batch
+    repeating a url would break the frontier's url-uniqueness invariant
+    AND make enqueue_seq nondeterministic (the rank-by-url has ties). The
+    window partitions per url (group size = that url's duplicate count), so
+    the exchange is an equi-hash of the BATCH by url — no global sort, and
+    the frontier is never touched. ``ReferenceSimulator._request_sort_key``
+    is the twin tie-break: both engines keep the same winner."""
+    w = Window.partitionBy("url").orderBy(
+        "type", "tier", "policy_fetch", "policy_freshness",
+        "map_path", "map_name",
+    )
+    return (
+        rows.withColumn("_dup_rn", F.row_number().over(w))
+        .filter(F.col("_dup_rn") == 1)
+        .drop("_dup_rn")
+    )
+
+
 def _path_col(url):
     p = F.regexp_extract(url, "://[^/]*(/.*)$", 1)
     return F.when(p == "", "/").otherwise(p)
@@ -948,6 +971,9 @@ class CrawlEngine:
             "map_name",
         )
         allowed, denied = self._robots_allowed(base)
+        # a seed list repeating a url keeps ONE row (tracked-push tag
+        # semantics; also what makes the rank-by-url below deterministic)
+        allowed = _dedupe_batch_urls(allowed)
         # enqueue_seq = rank by url — via the range-partitioned distributed
         # rank, NOT a global Window.orderBy (a 10^10-URL seed list would sort
         # in one task)
@@ -2543,6 +2569,9 @@ class CrawlEngine:
         allowed = allowed.persist()
         persisted.append(allowed)
         fresh = inflight_bounce(allowed, inflight)
+        # intra-batch duplicate urls: first push wins, later copies bounce
+        # (counted below — n_allowed-n_new absorbs them into 'bounced')
+        fresh = _dedupe_batch_urls(fresh)
         adds = scalable_rank_by_key(
             fresh, ["url"], "_rank", persisted=persisted
         ).select(
@@ -2679,10 +2708,35 @@ class CrawlEngine:
         else:
             to_requeue, keep = dead, dead.limit(0)
 
+        # requeue is a tracked push like any other: (a) the deadletter table
+        # can hold the same url from different rounds (deadletter -> requeue
+        # -> deadletter again) — only ONE copy revives (first-wins by
+        # (type, tier), the columns a deadletter row carries); (b) a url
+        # already live in the frontier bounces instead of reviving a
+        # duplicate. ALL matching deadletter rows are still cleared. The
+        # bounce broadcasts the requeue batch when it is small (the common
+        # admin case) and falls back to a shuffle anti-join above the gate —
+        # the frontier itself never exchanges in the broadcast regime.
+        cand = to_requeue.select("url", "type", "tier")
+        w_dup = Window.partitionBy("url").orderBy("type", "tier")
+        cand = (
+            cand.withColumn("_dup_rn", F.row_number().over(w_dup))
+            .filter(F.col("_dup_rn") == 1)
+            .drop("_dup_rn")
+        )
+        inflight = self._read_frontier(version, bases).select("url")
+        n_cand = cand.count()
+        if n_cand == 0:
+            return 0
+        if n_cand <= self.cfg.dedup_broadcast_max:
+            cand = inflight_bounce(cand, inflight)
+        else:
+            cand = cand.join(inflight, "url", "left_anti")
+
         persisted: list = []
         revived = (
             scalable_rank_by_key(
-                to_requeue.select("url", "type", "tier"),
+                cand,
                 ["url"],
                 "_rank",
                 persisted=persisted,
@@ -2709,14 +2763,13 @@ class CrawlEngine:
             )
         )
         n_revived = revived.count()
-        if n_revived == 0:
-            for f in persisted:
-                f.unpersist()
-            return 0
 
         # revived rows are frontier ADDS; the deadletter table is compacted
         # in place (its base pointer moves to this round) — requeue is the
         # one op that removes deadletter rows, and it is rare by nature.
+        # Matching rows clear EVEN when every candidate bounced (n_revived
+        # 0): the reference deletes the deadletter doc before pushing, so a
+        # bounced requeue still consumes it (crawlerService.js:119-130).
         # host_state is untouched: its base pointer + deltas carry forward.
         self.store.write_tables(rnd, {"deadletter": keep})
         self.store.write_append(rnd, "frontier_adds", revived)

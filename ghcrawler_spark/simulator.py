@@ -498,9 +498,43 @@ class ReferenceSimulator:
     def _trait(self, type_: str) -> str:
         return (self.cfg.type_traits or {}).get(type_, type_)
 
+    @staticmethod
+    def _request_sort_key(s: dict, tier_default: str = "normal") -> tuple:
+        """Deterministic intake order: url first, then the RESOLVED
+        attribute tuple in the exact column order of the engine's
+        intra-batch dedup window (round_engine._dedupe_batch_urls), so when
+        a batch repeats a url both twins keep the SAME winner — the
+        reference's tracked push tags on first push and bounces later
+        copies (redisRequestTracker.js:21-27)."""
+        if s.get("policy"):
+            from ghcrawler_spark.plans.policy import resolve_policy
+
+            try:
+                r_fetch, r_fresh, r_scen, _r_map, r_path = resolve_policy(
+                    s["policy"]
+                )
+            except Exception:
+                r_fetch, r_fresh, r_scen, r_path = (
+                    "originStorage", "match", "default", "/",
+                )
+        else:
+            r_fetch, r_fresh, r_scen, r_path = (
+                "originStorage", "match", "default", "/",
+            )
+        return (
+            s.get("url") or "",
+            s.get("type") or "",
+            s.get("tier") or tier_default,
+            s.get("policy_fetch") or r_fetch,
+            s.get("policy_freshness") or r_fresh,
+            s.get("map_path") or r_path,
+            s.get("map_name") or r_scen,
+        )
+
     def seed(self, seeds: list[dict]) -> None:
         self._seeded = True
-        for s in sorted(seeds, key=lambda x: (x.get("url") or "")):
+        queued_urls: set[str] = set()
+        for s in sorted(seeds, key=self._request_sort_key):
             if is_malformed(s.get("url"), s.get("type")):
                 self.deadletter.append(
                     {"url": s.get("url") or "", "type": s.get("type") or "",
@@ -511,6 +545,9 @@ class ReferenceSimulator:
             if self._denied(s["url"]):
                 self.excluded.append({"url": s["url"], "round": 0})
                 continue
+            if s["url"] in queued_urls:
+                continue  # duplicate in the seed batch: first push wins
+            queued_urls.add(s["url"])
             self.next_seq += 1
             # optional policy SPEC string (traversalPolicy.js:97-106):
             # "name[:scenario/map@path]" resolves to the named policy's
@@ -549,7 +586,7 @@ class ReferenceSimulator:
             self.round += 1
         inflight = {r.url for r in self.frontier}
         queued = malformed = denied = bounced = 0
-        for s in sorted(specs, key=lambda x: (x.get("url") or "")):
+        for s in sorted(specs, key=lambda x: self._request_sort_key(x, tier)):
             if is_malformed(s.get("url"), s.get("type")):
                 self.deadletter.append(
                     {"url": s.get("url") or "", "type": s.get("type") or "",
@@ -588,6 +625,10 @@ class ReferenceSimulator:
                 )
             )
             queued += 1
+            # the tracked push tags the url NOW: a later copy of the same
+            # url in this batch bounces, matching the engine's intra-batch
+            # dedup (first-wins counts into 'bounced')
+            inflight.add(s["url"])
         return {"queued": queued, "malformed": malformed, "denied": denied,
                 "bounced": bounced}
 

@@ -705,3 +705,101 @@ def test_admin_status_queue_info_delete_deadletters(spark, tmp_path):
     assert eng.delete_deadletters() == 0  # idempotent when empty
     # the crawl state is untouched by the discards
     assert eng.status()["frontier_size"] == 0
+
+
+def test_duplicate_url_batches_dedupe(spark, tmp_path):
+    """Tracked-push tag semantics (redisRequestTracker.js:21-27
+    track-then-push): a url repeated WITHIN one seed or admin batch
+    enqueues ONCE — the tag set by the first push bounces later copies —
+    keeping the frontier url-unique and enqueue_seq deterministic. Both
+    twins keep the same winner (first by the resolved attribute tuple) and
+    the continued crawl stays engine == simulator."""
+    links = {f"{H}/a": [("pages", f"{H}/b", "page")]}
+    seeds = [
+        {"url": f"{H}/s", "type": "page", "tier": "soon"},
+        {"url": f"{H}/s", "type": "page", "tier": "normal"},  # 'normal'<'soon'
+        {"url": f"{H}/a", "type": "page"},
+    ]
+    eng, store, sim, seeds_df = _build(
+        spark, tmp_path, {}, links, seeds,
+        {"round_capacity": 8, "inject_failures": False},
+    )
+    eng.seed(seeds_df)
+    sim.seed(seeds)
+    eng_fr = {
+        r.url: (r.tier, r.enqueue_seq)
+        for r in eng.current_frontier().collect()
+    }
+    sim_fr = {r.url: (r.tier, r.enqueue_seq) for r in sim.frontier}
+    assert eng_fr == sim_fr
+    assert len(eng_fr) == 2
+    assert eng_fr[f"{H}/s"][0] == "normal"  # the resolved-tuple winner
+    assert store.read_manifest()["frontier_size"] == 2
+
+    batch = [
+        {"url": f"{H}/q", "type": "page", "tier": "later"},
+        {"url": f"{H}/q", "type": "page", "tier": "normal"},  # intra-batch dup
+        {"url": f"{H}/a", "type": "page"},                    # in flight
+    ]
+    req_df = spark.createDataFrame(
+        [(b["url"], b["type"], b.get("tier")) for b in batch],
+        "url string, type string, tier string",
+    )
+    eng_counts = eng.queue_requests(req_df, tier="normal")
+    sim_counts = sim.queue_requests(batch, tier="normal")
+    assert eng_counts == sim_counts
+    assert eng_counts == {
+        "queued": 1, "malformed": 0, "denied": 0, "bounced": 2,
+    }
+    fr2 = {r.url: r.tier for r in eng.current_frontier().collect()}
+    assert fr2[f"{H}/q"] == "later"  # 'later' < 'normal'
+    assert sorted(fr2) == sorted({r.url for r in sim.frontier})
+
+    for _ in range(20):
+        if not eng.run_round():
+            break
+    for _ in range(20):
+        if not sim.run_round():
+            break
+    eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+    assert eng_log == sim_log
+    assert eng_seen == sim_seen
+    assert len([r for r in eng_log if r["url"] == f"{H}/s"]) == 1
+    assert len([r for r in eng_log if r["url"] == f"{H}/q"]) == 1
+
+
+def test_requeue_dedupes_and_bounces_inflight(spark, tmp_path):
+    """Requeue is a tracked push too (crawlerService.js:119-130): duplicate
+    deadletter rows for one url revive a SINGLE frontier row; a url still
+    live in the frontier bounces instead of duplicating; and matching
+    deadletter rows clear even when every candidate bounced (the reference
+    deletes the deadletter doc before pushing)."""
+    bad = "ftp://h1.test/d"
+    seeds = [
+        {"url": f"{H}/a", "type": "page"},   # stays live in the frontier
+        {"url": f"{H}/a", "type": None},     # malformed → deadletter url H/a
+        {"url": bad, "type": "page"},        # malformed (scheme) → deadletter
+        {"url": bad, "type": "page"},        # duplicate deadletter row
+    ]
+    eng, store, sim, seeds_df = _build(
+        spark, tmp_path, {}, {}, seeds,
+        {"round_capacity": 8, "inject_failures": False},
+    )
+    eng.seed(seeds_df)
+    assert eng.current_frontier().count() == 1
+    assert eng.current_deadletter().count() == 3
+
+    # every candidate bounces → nothing revives, but the rows still clear
+    n = eng.requeue_deadletters(url_filter=f"^{H}/a$")
+    assert n == 0
+    assert eng.current_deadletter().count() == 2
+    assert eng.current_frontier().count() == 1  # no duplicate of the live row
+
+    # duplicate deadletter rows for `bad` revive exactly one frontier row
+    n = eng.requeue_deadletters()
+    assert n == 1
+    assert eng.current_deadletter().count() == 0
+    fr = eng.current_frontier().collect()
+    assert sorted(r.url for r in fr) == sorted([f"{H}/a", bad])
+    revived = [r for r in fr if r.url == bad][0]
+    assert revived.attempt == 0
