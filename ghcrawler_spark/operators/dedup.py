@@ -336,6 +336,7 @@ def minhash_lsh_incremental(
     bands: int = MINHASH_BANDS,
     threshold: float = 0.5,
     materialize: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup: new `delta` documents checked against the
     existing `base` corpus — the daily-increment shape of a training-data
@@ -355,6 +356,8 @@ def minhash_lsh_incremental(
     The window ranks within one delta doc's matches (bounded by LSH
     selectivity), never globally."""
     sig_d = _array_signatures(delta, id_col, text_col, k, num_hashes).persist()
+    if persisted is not None:
+        persisted.append(sig_d)
     sig_b = _array_signatures(base, id_col, text_col, k, num_hashes)
     bands_d = _band_frame(sig_d, num_hashes, bands).select(
         F.col("doc").alias("new_id"), "band", "bkey"
@@ -366,6 +369,8 @@ def minhash_lsh_incremental(
         .distinct()
         .persist()  # two broadcast builds below read it; computed once
     )
+    if persisted is not None:
+        persisted.append(cand)
     # same verify shape as minhash_lsh_pairs: broadcast only the BARE id
     # pairs; both halves are map-side joins against the signature frames
     # (the base corpus never exchanges as a whole — only its candidate rows,
@@ -419,8 +424,11 @@ def minhash_lsh_incremental(
         .select("new_id", "dup_of", "jaccard")
     )
     if not materialize:
-        # lazy variant for plan audits (tools/audit_plans.py) — caller owns
-        # the sig_d/cand cache lifetimes
+        # lazy variant (plan audits, pipeline composition) — the caller owns
+        # the sig_d/cand cache lifetimes THROUGH the `persisted` list: pass
+        # one and unpersist its frames after consuming the result, exactly
+        # like minhash_lsh_pairs' persisted path (without a handle a lazy
+        # caller that executes the frame could never release the two caches)
         return out
     out = out.localCheckpoint(eager=True)
     sig_d.unpersist()

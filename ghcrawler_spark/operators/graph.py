@@ -24,13 +24,9 @@ __all__ = ["pagerank_fixed_point"]
 _CHECKPOINT_EVERY = 5  # lineage-truncation cadence for long runs
 
 
-def _free_checkpoint(df: DataFrame) -> None:
-    """Release a superseded localCheckpoint's blocks (not cache-managed)."""
-    try:
-        df.unpersist()
-        df._jdf.queryExecution().toRdd().unpersist(False)
-    except Exception:
-        pass  # best effort; block GC reclaims eventually
+# shared best-effort block-release helper (one implementation to fix if the
+# localCheckpoint release mechanics ever change)
+from ghcrawler_spark.operators.dedup import _free_frame as _free_checkpoint
 
 
 def pagerank_fixed_point(

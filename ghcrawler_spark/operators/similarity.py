@@ -198,9 +198,22 @@ def centroid_array(centroids: list) -> Column:
     before a single task runs. Python float repr round-trips exactly, and
     CAST(<repr> AS FLOAT) lands on the identical float32, so values are
     bit-equal to the old form (and to the DuckDB oracle's)."""
+    def _f32(x) -> str:
+        x = float(x)
+        # repr(nan)/repr(inf) are not SQL literals (they'd parse as column
+        # refs); Spark casts the STRINGS 'NaN'/'Infinity' to float fine, so
+        # degenerate centroids (e.g. from a zero-norm embedding) still build
+        if x != x:
+            return "CAST('NaN' AS FLOAT)"
+        if x == float("inf"):
+            return "CAST('Infinity' AS FLOAT)"
+        if x == float("-inf"):
+            return "CAST('-Infinity' AS FLOAT)"
+        return f"CAST({x!r} AS FLOAT)"
+
     parts = []
     for cid, vec in centroids:
-        arr = ", ".join(f"CAST({float(x)!r} AS FLOAT)" for x in vec)
+        arr = ", ".join(_f32(x) for x in vec)
         parts.append(
             f"named_struct('cid', {int(cid)}, 'cv', array({arr}))"
         )

@@ -369,14 +369,10 @@ class _Tracer:
             self._j = j
 
 
-def _free_checkpoint(df: DataFrame) -> None:
-    """Release a superseded localCheckpoint's blocks (they are not in the
-    cache manager, so unpersist() alone is a no-op for them)."""
-    try:
-        df.unpersist()
-        df._jdf.queryExecution().toRdd().unpersist(False)
-    except Exception:
-        pass  # best effort; block GC reclaims eventually
+# shared best-effort block-release helper (operators/dedup.py owns the one
+# implementation; localCheckpoint blocks are not cache-managed, so a bare
+# unpersist() would be a no-op for them)
+from ghcrawler_spark.operators.dedup import _free_frame as _free_checkpoint  # noqa: E402
 
 
 def _run_writes(writes: list) -> None:
@@ -684,12 +680,15 @@ class CrawlEngine:
             is_del = F.coalesce(F.col("action") == "deleted", F.lit(False))
             dels = ev.filter(is_del)
             ev = ev.filter(~is_del)
-            url_ok = (
-                F.col("url").isNotNull()
-                & (F.col("url") != "")
-                & F.col("url").rlike("^https?://")
-            )
-            keyed = ~url_ok & F.col("payload_id").isNotNull()
+            url_empty = F.col("url").isNull() | (F.col("url") == "")
+            url_ok = ~url_empty & F.col("url").rlike("^https?://")
+            # cacheKey addressing applies ONLY when the url is ABSENT
+            # (githubProcessor.js:668,724 deletes by cacheKey when no repo
+            # url exists): a directive carrying a non-empty INVALID url is
+            # malformed even if a payload_id rides along — the simulator
+            # skips resolution for any truthy url, so resolving here would
+            # tombstone a doc the twin deadletters.
+            keyed = url_empty & F.col("payload_id").isNotNull()
             # cacheKey-addressed deletes resolve via the docs log: the doc
             # with that image_id at the max (round, url) — the engine twin of
             # the simulator's latest-doc scan. The docs read is gated on the
@@ -2775,29 +2774,13 @@ class CrawlEngine:
         self.store.write_append(rnd, "frontier_adds", revived)
         new_bases = dict(bases)
         new_bases["deadletter"] = rnd
-        extras = {
-            "next_seq": next_seq + n_revived,
-            "total_popped": manifest["total_popped"],
-            "round": rnd,
-            "frontier_size": manifest["frontier_size"] + n_revived,
-            "bases": new_bases,
-            "ingested": manifest.get("ingested", []),
-            "docs_total": manifest.get("docs_total", 0),
-            "tombstones_total": manifest.get("tombstones_total", 0),
-        }
-        if "cost_baseline" in manifest:
-            extras["cost_baseline"] = manifest["cost_baseline"]
-        if manifest.get("config_patches"):
-            extras["config_patches"] = manifest["config_patches"]
-        if "bloom" in manifest:
-            # blobs are per-version: carry the previous version's forward
-            self._write_bloom(
-                rnd,
-                self._load_bloom(
-                    version, manifest, self._read_seen(version, bases)
-                ),
-            )
-            extras["bloom"] = manifest["bloom"]
+        extras = self._carry_extras(
+            manifest,
+            next_seq=next_seq + n_revived,
+            frontier_size=manifest["frontier_size"] + n_revived,
+            bases=new_bases,
+        )
+        self._carry_bloom(manifest, version, rnd, extras)
         self.store.commit(rnd, extras)
         if self._bloom_version == version:
             self._bloom_version = rnd

@@ -40,7 +40,8 @@ from ghcrawler_spark.functions.urls import canonicalize_url
 EVENTS_TIER = "events"  # weight 10 (crawlerFactory.js:86)
 
 STAGED_SCHEMA = (
-    "url string, type string, event_ms long, payload_id string, verified boolean"
+    "url string, type string, action string, event_ms long, "
+    "payload_id string, verified boolean"
 )
 
 
@@ -84,6 +85,12 @@ def events_to_staged_rows(events: DataFrame, secret: str | None = None) -> DataF
     payload = (
         F.col("payload_id") if "payload_id" in cols else F.lit(None)
     ).cast("string")
+    # deletion directives (action='deleted', ROUND SPEC v5) must survive
+    # staging — dropping the column here would turn a delete into a crawl
+    # request at absorb time, the opposite of the directive's intent
+    action = (F.col("action") if "action" in cols else F.lit(None)).cast(
+        "string"
+    )
     if secret is None:
         verified = F.lit(True)
     else:
@@ -94,6 +101,7 @@ def events_to_staged_rows(events: DataFrame, secret: str | None = None) -> DataF
     return events.select(
         canonicalize_url("url").alias("url"),
         F.col("type"),
+        action.alias("action"),
         F.unix_millis(F.col("ts")).alias("event_ms"),
         payload.alias("payload_id"),
         verified.alias("verified"),
@@ -127,8 +135,15 @@ def attach_event_stream(
     'events' (the streaming twin of the engine's Throttled requeue,
     lib/crawler.js:441-459). Row attributes ride through the stateful op as
     a packed JSON ``meta`` column (the op's schema is fixed)."""
+    # cross-batch dedup key includes `action` when the stream carries it: a
+    # deletion directive and a crawl event for the same (url, type) are
+    # DIFFERENT messages — one must not suppress the other inside the
+    # watermark (the engine splits them before its own first-wins dedup)
+    dedup_keys = ["url", "type"] + (
+        ["action"] if "action" in events_stream.columns else []
+    )
     deduped = events_stream.withWatermark("ts", watermark).dropDuplicates(
-        ["url", "type"]
+        dedup_keys
     )
     if rate_per_sec is not None:
         from ghcrawler_spark.functions.urls import extract_host
@@ -136,11 +151,13 @@ def attach_event_stream(
 
         staged = events_to_staged_rows(deduped, secret=secret)
         shaped = staged.select(
-            extract_host(F.col("url")).alias("host"),
+            # cacheKey-addressed deletes carry no url → null host; the
+            # stateful op groups by host, so pin those rows to one '' group
+            F.coalesce(extract_host(F.col("url")), F.lit("")).alias("host"),
             "url",
             "event_ms",
             F.to_json(
-                F.struct("type", "payload_id", "verified")
+                F.struct("type", "action", "payload_id", "verified")
             ).alias("meta"),
         )
         limited = host_token_bucket(
@@ -148,11 +165,12 @@ def attach_event_stream(
         )
         meta = F.from_json(
             F.col("meta"),
-            "type string, payload_id string, verified boolean",
+            "type string, action string, payload_id string, verified boolean",
         )
         deduped = limited.select(
             "url",
             meta["type"].alias("type"),
+            meta["action"].alias("action"),
             "event_ms",
             meta["payload_id"].alias("payload_id"),
             meta["verified"].alias("verified"),
@@ -168,8 +186,13 @@ def attach_event_stream(
             if pre_staged
             else events_to_staged_rows(batch_df, secret=secret)
         )
-        # intra-batch attenuation: first occurrence per url wins (J4)
-        w = Window.partitionBy("url").orderBy("event_ms", "type")
+        # intra-batch attenuation: first occurrence per url wins (J4).
+        # Deletion directives attenuate SEPARATELY from crawl events (the
+        # engine splits them before its own first-wins pass, so a deletion
+        # must never swallow — or be swallowed by — a payload/crawl event
+        # for the same url in one micro-batch)
+        is_del = F.coalesce(F.col("action") == "deleted", F.lit(False))
+        w = Window.partitionBy("url", is_del).orderBy("event_ms", "type")
         rows = (
             rows.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -245,6 +245,11 @@ def test_tombstone_cachekey_addressed_and_resume(spark, tmp_path):
          "payload_id": "no-such-key"},   # unknown cache key: no-op
         {"url": None, "type": "image", "event_ms": 3, "action": "deleted"},
         # ^ neither url nor key → malformed deadletter
+        {"url": "ftp://h1.test/x", "type": "image", "event_ms": 4,
+         "action": "deleted", "payload_id": "imgK"},
+        # ^ cacheKey addressing applies ONLY when the url is ABSENT: a
+        # non-empty INVALID url is malformed even with a payload_id riding
+        # along — it must NOT resolve and tombstone the stored doc
     ]
     _stage(spark, ingest, evs)
     sim.inject_events(evs)

@@ -360,3 +360,79 @@ def test_rate_limited_event_stream_routes_throttled_to_later(spark, tmp_path):
     seqs_ev = [r["seq"] for r in eng_log if r["tier"] == "events"]
     seqs_lt = [r["seq"] for r in eng_log if r["tier"] == "later"]
     assert max(seqs_ev) < min(seqs_lt)
+
+
+def test_deletion_directive_flows_through_stream(spark, tmp_path):
+    """A deletion directive (action='deleted', ROUND SPEC v5) survives the
+    streaming front-end: attach_event_stream stages the ``action`` column,
+    a crawl event for the SAME url in the same micro-batch is NOT swallowed
+    by (or swallowing of) the directive, and the engine absorbs the staged
+    batch into a tombstone + a short-circuiting Deleted revisit — matching
+    the simulator fed the same events directly."""
+    from ghcrawler_spark.plans.round_engine import CrawlConfig, CrawlEngine
+    from ghcrawler_spark.simulator import ReferenceSimulator, SimConfig
+    from ghcrawler_spark.sources.snapshot import SnapshotStore
+
+    img = "http://h1.test/img/i1"
+    src = str(tmp_path / "src")
+    ingest = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(ingest)
+
+    corpus = spark.createDataFrame([("imgA", img)], "image_id string, url string")
+    links = spark.createDataFrame(
+        [], "src_url string, edge string, dst_url string, dst_type string"
+    )
+    store = SnapshotStore(str(tmp_path / "store"))
+    cfg = dict(round_capacity=4, bucket_capacity=8, bucket_fill=8,
+               inject_failures=False, tombstones=True)
+    eng = CrawlEngine(
+        spark, store, corpus, links, CrawlConfig(ingest_dir=ingest, **cfg)
+    )
+    sim = ReferenceSimulator({img: "imgA"}, {}, SimConfig(**cfg))
+    seeds = [{"url": img, "type": "image"}]
+    eng.seed(spark.createDataFrame(
+        [(img, "image", "normal")], "url string, type string, tier string"))
+    sim.seed(seeds)
+    for _ in range(2):  # img fetched + stored, drain
+        eng.run_round()
+        sim.run_round()
+
+    # one micro-batch: deletion directive THEN a revisit event, same url
+    spark.createDataFrame(
+        [
+            (img, "image", "2024-01-01 00:00:01", "deleted"),
+            (img, "image", "2024-01-01 00:00:02", None),
+        ],
+        "url string, type string, ts string, action string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        "url string, type string, ts timestamp, action string"
+    ).parquet(src)
+    q = attach_event_stream(stream, ingest, ckpt)
+    q.awaitTermination(60)
+
+    staged = spark.read.parquet(ingest).collect()
+    assert sorted(r["action"] or "" for r in staged) == ["", "deleted"]
+
+    sim.inject_events([
+        {"url": img, "type": "image", "event_ms": 1, "action": "deleted"},
+        {"url": img, "type": "image", "event_ms": 2},
+    ])
+    for _ in range(4):
+        if not eng.run_round():
+            break
+    for _ in range(4):
+        if not sim.run_round():
+            break
+    eng_log = [
+        (r["url"], r["outcome"])
+        for r in store.read_appends(spark, "order_log").orderBy("seq").collect()
+    ]
+    assert eng_log == [(r["url"], r["outcome"]) for r in sim.order_log]
+    assert eng_log == [(img, "Processed"), (img, "Deleted")]
+    tombs = store.read_appends(spark, "tombstones").collect()
+    assert {r["url"] for r in tombs} == {img}

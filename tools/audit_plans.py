@@ -113,16 +113,18 @@ def main() -> int:
     # round-5 (ADVICE r4 medium): the verify broadcasts must carry BARE id
     # pairs only — a broadcast whose rows embed the per-doc shingle arrays
     # is O(candidates × shingles) through the driver, unbounded by any gate
-    def _bcast_carries(plan: str, col: str) -> bool:
+    def _bcast_carries(plan: str, col_re: str) -> bool:
         for m in re.finditer(r"\(\d+\) BroadcastExchange", plan):
-            block = plan[m.start(): plan.find("\n(", m.start() + 2)]
-            if col in block:
+            end = plan.find("\n(", m.start() + 2)
+            if end == -1:  # last node: block runs to end of the plan text
+                end = len(plan)
+            if re.search(col_re, plan[m.start():end]):
                 return True
         return False
 
     checks.append(("d3 broadcasts carry bare id pairs only (no shingle "
                    "arrays through the driver)",
-                   not _bcast_carries(p, "hs"),
+                   not _bcast_carries(p, r"\bhs(_[ab])?#"),
                    "a BroadcastExchange input contains a shingle-hash array"))
 
     # 3d. n3 multiprobe: probe fan-out must stay an equi-join on the bucket
@@ -317,10 +319,14 @@ def main() -> int:
     from ghcrawler_spark.operators import dedup as D
 
     _docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _d10_caches: list = []
     _lazy = D.minhash_lsh_incremental(
         _docs.filter("doc_id % 10 != 9"), _docs.filter("doc_id % 10 = 9"),
-        "doc_id", "text", k=3, threshold=0.5, materialize=False)
+        "doc_id", "text", k=3, threshold=0.5, materialize=False,
+        persisted=_d10_caches)
     p = explain_str(_lazy)
+    for _f in _d10_caches:
+        _f.unpersist()
     plans["d10_incremental_dedup"] = p
     checks.append(("d10 incremental dedup: delta/candidates broadcast, corpus text never exchanges",
                    "BroadcastHashJoin" in p and not exchange_carries(p, "text")

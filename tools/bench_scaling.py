@@ -312,6 +312,20 @@ def main() -> int:
 
 def write_report(results: dict, cache_path: str) -> None:
     n, n4 = LEVELS
+    missing = [lv for lv in (*LEVELS, *EXTRA_LEVELS) if lv not in results]
+    if missing:
+        # a partially-populated cache (interrupted sweep / --report-only too
+        # early) must say WHICH level is absent, not KeyError mid-write
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_Nx4N",
+                    "error": f"levels not yet measured: {missing}",
+                    "have": sorted(results),
+                }
+            )
+        )
+        return
     tp_n = results[n]["urls_per_sec"]
     tp_4n = results[n4]["urls_per_sec"]
     eff = round((tp_4n / tp_n) / (n4 / n), 3)
