@@ -438,12 +438,14 @@ def minhash_lsh_incremental(
 
 def _free_frame(df: DataFrame) -> None:
     """Release a superseded iteration frame: cache-manager entry if cached,
-    plus the internal RDD blocks when the frame is a localCheckpoint."""
-    df.unpersist()
+    plus the internal RDD blocks when the frame is a localCheckpoint.
+    Wholly best-effort — cleanup during teardown (dead context, lost py4j
+    connection) must never fail the run; block GC reclaims eventually."""
     try:
+        df.unpersist()
         df._jdf.queryExecution().toRdd().unpersist(False)
     except Exception:
-        pass  # best-effort: block GC will reclaim eventually
+        pass
 
 
 def connected_components(

@@ -51,7 +51,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import asdict, dataclass, field, replace
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ghcrawler_spark.functions.images import psnr_vs_reference_udf
@@ -936,18 +936,28 @@ class CrawlEngine:
             "map_path": ("path", F.lit("/")),
             "map_name": ("scenario", F.lit("default")),
         }
+
+        # js-falsy precedence: the reference treats '' like absent (a falsy
+        # attribute falls through to the spec/default), and the simulator's
+        # `or`-chained twin (_resolved_request) does the same — an explicit
+        # EMPTY STRING surviving the coalesce here would make the twins pick
+        # different intra-batch dedup winners
+        def _nz(c: Column) -> Column:
+            return F.nullif(c, F.lit(""))
+
         policy_cols = []
         for c, (field_, d) in defaults.items():
             parts = []
             if c in have:
-                parts.append(F.col(c))
+                parts.append(_nz(F.col(c)))
             if spec is not None:
                 parts.append(spec[field_])
             parts.append(d)
             policy_cols.append(F.coalesce(*parts).alias(c))
-        tier_parts = ([F.col("tier")] if "tier" in have else []) + (
+        tier_parts = ([_nz(F.col("tier"))] if "tier" in have else []) + (
             [F.lit(tier_default)] if tier_default is not None else []
         )
+        tier_parts = tier_parts or [F.lit(None).cast("string")]
         return seeds.select(
             "url", "type", F.coalesce(*tier_parts).alias("tier"), *policy_cols
         )
@@ -958,10 +968,14 @@ class CrawlEngine:
         the reference's default policy (originStorage:match@/)."""
         rows = self._resolve_request_rows(seeds)
         malformed = rows.filter(_malformed_cond())
+        # falsy seed tier defaults to 'normal' HERE, not in the resolve —
+        # malformed deadletter rows keep the raw value (the twin records
+        # s.get('tier') or '' there), while a None-tier seed row must never
+        # enqueue with a NULL tier no rotation weight would ever select
         base = rows.filter(~_malformed_cond()).select(
             "url",
             "type",
-            "tier",
+            F.coalesce(F.col("tier"), F.lit("normal")).alias("tier"),
             extract_host("url").alias("host"),
             F.lit(0).alias("attempt"),
             "policy_fetch",
@@ -2722,17 +2736,18 @@ class CrawlEngine:
             cand.withColumn("_dup_rn", F.row_number().over(w_dup))
             .filter(F.col("_dup_rn") == 1)
             .drop("_dup_rn")
+            .persist()  # read 3x: the count gate, the bounce, the rank
         )
         inflight = self._read_frontier(version, bases).select("url")
         n_cand = cand.count()
         if n_cand == 0:
+            cand.unpersist()
             return 0
+        persisted: list = [cand]
         if n_cand <= self.cfg.dedup_broadcast_max:
             cand = inflight_bounce(cand, inflight)
         else:
             cand = cand.join(inflight, "url", "left_anti")
-
-        persisted: list = []
         revived = (
             scalable_rank_by_key(
                 cand,

@@ -499,36 +499,49 @@ class ReferenceSimulator:
         return (self.cfg.type_traits or {}).get(type_, type_)
 
     @staticmethod
-    def _request_sort_key(s: dict, tier_default: str = "normal") -> tuple:
+    def _resolved_request(s: dict, tier_default: str = "normal") -> dict:
+        """Resolve one request spec to its effective attribute tuple —
+        the ONE place intake precedence lives (explicit truthy column >
+        policy SPEC > graft default; the reference treats '' like absent,
+        js-falsy). Shared by the sort key and the seed/queue loop bodies so
+        they can never drift. Raises at once on a non-string policy —
+        sorted() evaluates keys before any state mutates, so bad input
+        fails fast instead of mid-iteration."""
+        if s.get("policy"):
+            from ghcrawler_spark.plans.policy import resolve_policy
+
+            r_fetch, r_fresh, r_scen, _r_map, r_path = resolve_policy(
+                s["policy"]
+            )
+        else:
+            r_fetch, r_fresh, r_scen, r_path = (
+                "originStorage", "match", "default", "/",
+            )
+        return {
+            "tier": s.get("tier") or tier_default,
+            "policy_fetch": s.get("policy_fetch") or r_fetch,
+            "policy_freshness": s.get("policy_freshness") or r_fresh,
+            "map_path": s.get("map_path") or r_path,
+            "map_name": s.get("map_name") or r_scen,
+        }
+
+    @classmethod
+    def _request_sort_key(cls, s: dict, tier_default: str = "normal") -> tuple:
         """Deterministic intake order: url first, then the RESOLVED
         attribute tuple in the exact column order of the engine's
         intra-batch dedup window (round_engine._dedupe_batch_urls), so when
         a batch repeats a url both twins keep the SAME winner — the
         reference's tracked push tags on first push and bounces later
         copies (redisRequestTracker.js:21-27)."""
-        if s.get("policy"):
-            from ghcrawler_spark.plans.policy import resolve_policy
-
-            try:
-                r_fetch, r_fresh, r_scen, _r_map, r_path = resolve_policy(
-                    s["policy"]
-                )
-            except Exception:
-                r_fetch, r_fresh, r_scen, r_path = (
-                    "originStorage", "match", "default", "/",
-                )
-        else:
-            r_fetch, r_fresh, r_scen, r_path = (
-                "originStorage", "match", "default", "/",
-            )
+        r = cls._resolved_request(s, tier_default)
         return (
             s.get("url") or "",
             s.get("type") or "",
-            s.get("tier") or tier_default,
-            s.get("policy_fetch") or r_fetch,
-            s.get("policy_freshness") or r_fresh,
-            s.get("map_path") or r_path,
-            s.get("map_name") or r_scen,
+            r["tier"],
+            r["policy_fetch"],
+            r["policy_freshness"],
+            r["map_path"],
+            r["map_name"],
         )
 
     def seed(self, seeds: list[dict]) -> None:
@@ -551,26 +564,18 @@ class ReferenceSimulator:
             self.next_seq += 1
             # optional policy SPEC string (traversalPolicy.js:97-106):
             # "name[:scenario/map@path]" resolves to the named policy's
-            # (fetch, freshness) + scenario cut; explicit columns win
-            if s.get("policy"):
-                from ghcrawler_spark.plans.policy import resolve_policy
-
-                r_fetch, r_fresh, r_scen, _r_map, r_path = resolve_policy(
-                    s["policy"]
-                )
-            else:
-                r_fetch, r_fresh, r_scen, r_path = (
-                    "originStorage", "match", "default", "/",
-                )
+            # (fetch, freshness) + scenario cut; explicit truthy columns win
+            # (_resolved_request — the same precedence the sort key used)
+            r = self._resolved_request(s)
             self.frontier.append(
                 FrontierRow(
-                    url=s["url"], type=s["type"], tier=s.get("tier", "normal"),
+                    url=s["url"], type=s["type"], tier=r["tier"],
                     host=host_of(s["url"]), enqueue_seq=self.next_seq,
-                    policy_fetch=s.get("policy_fetch") or r_fetch,
-                    policy_freshness=s.get("policy_freshness") or r_fresh,
-                    map_path=s.get("map_path") or r_path,
+                    policy_fetch=r["policy_fetch"],
+                    policy_freshness=r["policy_freshness"],
+                    map_path=r["map_path"],
                     qualifier=root_qualifier(s["url"]),
-                    map_name=s.get("map_name") or r_scen,
+                    map_name=r["map_name"],
                 )
             )
 
@@ -602,26 +607,17 @@ class ReferenceSimulator:
             if s["url"] in inflight:
                 bounced += 1
                 continue
-            if s.get("policy"):
-                from ghcrawler_spark.plans.policy import resolve_policy
-
-                r_fetch, r_fresh, r_scen, _r_map, r_path = resolve_policy(
-                    s["policy"]
-                )
-            else:
-                r_fetch, r_fresh, r_scen, r_path = (
-                    "originStorage", "match", "default", "/",
-                )
+            r = self._resolved_request(s, tier)
             self.next_seq += 1
             self.frontier.append(
                 FrontierRow(
-                    url=s["url"], type=s["type"], tier=s.get("tier") or tier,
+                    url=s["url"], type=s["type"], tier=r["tier"],
                     host=host_of(s["url"]), enqueue_seq=self.next_seq,
-                    policy_fetch=s.get("policy_fetch") or r_fetch,
-                    policy_freshness=s.get("policy_freshness") or r_fresh,
-                    map_path=s.get("map_path") or r_path,
+                    policy_fetch=r["policy_fetch"],
+                    policy_freshness=r["policy_freshness"],
+                    map_path=r["map_path"],
                     qualifier=root_qualifier(s["url"]),
-                    map_name=s.get("map_name") or r_scen,
+                    map_name=r["map_name"],
                 )
             )
             queued += 1

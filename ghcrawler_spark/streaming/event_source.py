@@ -138,13 +138,24 @@ def attach_event_stream(
     # cross-batch dedup key includes `action` when the stream carries it: a
     # deletion directive and a crawl event for the same (url, type) are
     # DIFFERENT messages — one must not suppress the other inside the
-    # watermark (the engine splits them before its own first-wins dedup)
-    dedup_keys = ["url", "type"] + (
-        ["action"] if "action" in events_stream.columns else []
-    )
-    deduped = events_stream.withWatermark("ts", watermark).dropDuplicates(
-        dedup_keys
-    )
+    # watermark (the engine splits them before its own first-wins dedup).
+    # cacheKey-addressed deletes have url=NULL, and dropDuplicates treats
+    # NULLs as equal — without the payload_id leg, two keyed deletes for
+    # DIFFERENT docs would collapse to one and a deletion would be lost.
+    have_in = set(events_stream.columns)
+    src = events_stream
+    dedup_keys = ["url", "type"]
+    if "action" in have_in:
+        dedup_keys.append("action")
+        if "payload_id" in have_in:
+            src = src.withColumn(
+                "_dedup_pid",
+                F.when(F.col("action") == "deleted", F.col("payload_id")),
+            )
+            dedup_keys.append("_dedup_pid")
+    deduped = src.withWatermark("ts", watermark).dropDuplicates(dedup_keys)
+    if "_dedup_pid" in dedup_keys:
+        deduped = deduped.drop("_dedup_pid")
     if rate_per_sec is not None:
         from ghcrawler_spark.functions.urls import extract_host
         from ghcrawler_spark.streaming.rate_limiter import host_token_bucket
@@ -190,9 +201,15 @@ def attach_event_stream(
         # Deletion directives attenuate SEPARATELY from crawl events (the
         # engine splits them before its own first-wins pass, so a deletion
         # must never swallow — or be swallowed by — a payload/crawl event
-        # for the same url in one micro-batch)
+        # for the same url in one micro-batch), and keyed deletes (url NULL,
+        # addressed by payload_id) attenuate per-DOC: NULL urls all land in
+        # one window partition, so without the payload leg two keyed deletes
+        # for different docs would collapse to one
         is_del = F.coalesce(F.col("action") == "deleted", F.lit(False))
-        w = Window.partitionBy("url", is_del).orderBy("event_ms", "type")
+        del_pid = F.when(is_del, F.col("payload_id"))
+        w = Window.partitionBy("url", is_del, del_pid).orderBy(
+            "event_ms", "type"
+        )
         rows = (
             rows.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -808,3 +808,47 @@ def test_requeue_dedupes_and_bounces_inflight(spark, tmp_path):
     assert sorted(r.url for r in fr) == sorted([f"{H}/a", bad])
     revived = [r for r in fr if r.url == bad][0]
     assert revived.attempt == 0
+
+
+def test_falsy_intake_attributes_align(spark, tmp_path):
+    """js-falsy intake semantics: '' and None request attributes fall
+    through to spec/default resolution on BOTH twins (the reference treats
+    '' like absent), so a duplicate-url batch whose copies differ only in
+    falsy attributes picks the SAME winner; and a None-tier seed defaults
+    to 'normal' instead of enqueueing a NULL tier no rotation weight would
+    ever select (a permanently stuck row)."""
+    seeds = [
+        {"url": f"{H}/a", "type": "page", "tier": None},  # → 'normal'
+        {"url": f"{H}/b", "type": "page", "tier": "later",
+         "policy_fetch": ""},  # '' → default 'originStorage'
+        {"url": f"{H}/b", "type": "page", "tier": None,
+         "policy_fetch": "storageOnly"},
+        # ^ dup url: resolved tiers 'later' < 'normal', so the 'later' copy
+        # wins on both engines and its '' fetch resolves to the default
+    ]
+    eng, store, sim, seeds_df = _build(
+        spark, tmp_path, {}, {}, seeds,
+        {"round_capacity": 8, "inject_failures": False},
+    )
+    eng.seed(seeds_df)
+    sim.seed(seeds)
+    eng_fr = {
+        r.url: (r.tier, r.policy_fetch, r.enqueue_seq)
+        for r in eng.current_frontier().collect()
+    }
+    sim_fr = {
+        r.url: (r.tier, r.policy_fetch, r.enqueue_seq) for r in sim.frontier
+    }
+    assert eng_fr == sim_fr
+    assert eng_fr[f"{H}/a"][0] == "normal"
+    assert eng_fr[f"{H}/b"][:2] == ("later", "originStorage")
+
+    for _ in range(10):
+        if not eng.run_round():
+            break
+    for _ in range(10):
+        if not sim.run_round():
+            break
+    eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+    assert eng_log == sim_log
+    assert eng_seen == sim_seen

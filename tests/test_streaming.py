@@ -436,3 +436,34 @@ def test_deletion_directive_flows_through_stream(spark, tmp_path):
     assert eng_log == [(img, "Processed"), (img, "Deleted")]
     tombs = store.read_appends(spark, "tombstones").collect()
     assert {r["url"] for r in tombs} == {img}
+
+
+def test_keyed_deletes_not_collapsed_in_stream(spark, tmp_path):
+    """cacheKey-addressed deletion directives (url NULL, addressed by
+    payload_id) must not collapse in the stream's url-keyed dedup /
+    attenuation: two deletes for DIFFERENT docs both stage; a repeat of the
+    same doc's delete attenuates."""
+    src = str(tmp_path / "src")
+    ingest = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(ingest)
+    spark.createDataFrame(
+        [
+            (None, "image", "2024-01-01 00:00:01", "deleted", "k1"),
+            (None, "image", "2024-01-01 00:00:02", "deleted", "k2"),
+            (None, "image", "2024-01-01 00:00:03", "deleted", "k1"),  # dup
+        ],
+        "url string, type string, ts string, action string, payload_id string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        "url string, type string, ts timestamp, action string, "
+        "payload_id string"
+    ).parquet(src)
+    q = attach_event_stream(stream, ingest, ckpt)
+    q.awaitTermination(60)
+    staged = spark.read.parquet(ingest).collect()
+    assert sorted(r["payload_id"] for r in staged) == ["k1", "k2"]
+    assert all(r["action"] == "deleted" and r["url"] is None for r in staged)
