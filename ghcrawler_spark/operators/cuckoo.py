@@ -55,7 +55,7 @@ from ghcrawler_spark.operators.seen import _splitmix64
 
 SLOTS = 4  # slots per bucket (standard (2,4)-cuckoo: ~95% max load)
 MAX_KICKS = 500  # eviction chain bound before declaring the shard full
-DESIGN_LOAD = 0.5  # sizing target; overflowed() fires at 2x = ~1.0 load
+DESIGN_LOAD = 0.5  # sizing target; overflowed() fires at 1.6x = 0.8 load
 
 CUCKOO_SCHEMA = StructType(
     [
@@ -107,34 +107,78 @@ def _insert_batch(table: np.ndarray, keys: np.ndarray, nb: int) -> tuple[int, in
     ``(failed, placed)``: how many keys could NOT be placed (0 unless load
     is extreme — callers treat >0 as overflow and resize) and how many NEW
     fingerprints were actually written. Idempotent for re-inserted keys (a
-    fingerprint already present in either home bucket is skipped — set
+    fingerprint already visible in either home bucket is skipped — set
     semantics), so ``placed`` is the exact live-count delta: recrawl-heavy
     batches (freshness 'always') don't inflate n_keys and trigger premature
-    rebuilds."""
+    rebuilds.
+
+    The hot path is VECTORIZED (the 10^10-key design claim would die in a
+    per-key Python loop: a 64 MB shard rebuild is tens of millions of
+    keys in one task): slot-phased placement — for each slot index, the
+    first remaining key per bucket takes it — absorbs the no-eviction
+    majority (>99% below 0.8 load) in ≤8 numpy passes; only keys whose
+    home-bucket PAIR is already full walk the scalar eviction chain.
+    Deterministic: a pure function of the input key order (callers sort),
+    no RNG — replay-exact rebuilds."""
     if len(keys) == 0:
         return 0, 0
     fps, b1s, b2s = _fp_and_buckets(keys, nb)
     view = table.reshape(nb, SLOTS)
-    failed = 0
+
+    # intra-batch set semantics: one copy per (bucket-pair, fingerprint)
+    lo = np.minimum(b1s, b2s)
+    hi = np.maximum(b1s, b2s)
+    _, first = np.unique(
+        np.stack([lo, hi, fps.astype(np.int64)]), axis=1, return_index=True
+    )
+    keep = np.sort(first)
+    fps, b1s, b2s = fps[keep], b1s[keep], b2s[keep]
+
     placed_n = 0
-    # deterministic eviction cursor (no RNG: replay-exact rebuilds)
-    cursor = 0
-    for fp, b1, b2 in zip(fps.tolist(), b1s.tolist(), b2s.tolist()):
-        r1 = view[b1]
-        r2 = view[b2]
-        if (r1 == fp).any() or (r2 == fp).any():
-            continue  # already present (set semantics)
-        placed = False
-        for row in (r1, r2):
-            empty = np.flatnonzero(row == 0)
-            if len(empty):
-                row[empty[0]] = fp
-                placed = True
+    remaining = np.arange(len(fps))
+    for bucket_arr in (b1s, b2s):
+        for s in range(SLOTS):
+            if len(remaining) == 0:
                 break
-        if placed:
-            placed_n += 1
-            continue
-        # evict: displace a resident fingerprint and re-home it
+            # set semantics vs the CURRENT table, re-checked per pass so a
+            # same-fingerprint key placed by an earlier pass is skipped —
+            # the phased mirror of the sequential loop's per-key check
+            present = (
+                view[b1s[remaining]] == fps[remaining, None]
+            ).any(axis=1) | (
+                view[b2s[remaining]] == fps[remaining, None]
+            ).any(axis=1)
+            remaining = remaining[~present]
+            if len(remaining) == 0:
+                break
+            bs = bucket_arr[remaining]
+            cand = remaining[view[bs, s] == 0]
+            if len(cand) == 0:
+                continue
+            # one placement per bucket per pass (no write conflicts):
+            # the first candidate in key order wins the slot
+            cb = bucket_arr[cand]
+            order = np.argsort(cb, kind="stable")
+            cb_sorted = cb[order]
+            first_of_bucket = np.ones(len(cb_sorted), dtype=bool)
+            first_of_bucket[1:] = cb_sorted[1:] != cb_sorted[:-1]
+            chosen = cand[order[first_of_bucket]]
+            view[bucket_arr[chosen], s] = fps[chosen]
+            placed_n += len(chosen)
+            remaining = remaining[
+                ~np.isin(remaining, chosen, assume_unique=True)
+            ]
+
+    # leftovers: both home buckets full — scalar eviction chains (rare
+    # below ~0.8 load; occupancy is monotonic, so no slot frees up later)
+    failed = 0
+    cursor = 0  # deterministic eviction cursor (no RNG)
+    for i in remaining.tolist():
+        fp, b1 = int(fps[i]), int(b1s[i])
+        r1, r2 = view[b1], view[int(b2s[i])]
+        if (r1 == fp).any() or (r2 == fp).any():
+            continue  # an eviction re-homed this fingerprint here
+        placed = False
         b, cur = b1, fp
         for _ in range(MAX_KICKS):
             slot = cursor % SLOTS
@@ -157,7 +201,7 @@ def _insert_batch(table: np.ndarray, keys: np.ndarray, nb: int) -> tuple[int, in
         if placed:
             placed_n += 1
         else:
-            # put the orphan back where the chain started is impossible
+            # putting the orphan back where the chain started is impossible
             # (slots all full) — count the failure; caller resizes
             failed += 1
     return failed, placed_n
@@ -259,11 +303,14 @@ class CuckooShardTable:
         num_shards: int,
         n_buckets: int,
         capacity_per_shard: int,
+        known_empty: bool = False,
     ):
         self.shards_df = shards_df
         self.num_shards = num_shards
         self.n_buckets = n_buckets
         self.capacity_per_shard = capacity_per_shard
+        # set by empty(): filter_unseen skips the cogroup probe entirely
+        self.known_empty = known_empty
 
     # -- construction -------------------------------------------------
     @staticmethod
@@ -289,7 +336,7 @@ class CuckooShardTable:
         nb = cuckoo_buckets(expected_per_shard)
         return CuckooShardTable(
             spark.createDataFrame([], CUCKOO_SCHEMA), num_shards, nb,
-            expected_per_shard,
+            expected_per_shard, known_empty=True,
         )
 
     @staticmethod
@@ -384,9 +431,14 @@ class CuckooShardTable:
         )
 
     # -- inspection ---------------------------------------------------
-    def overflowed(self, headroom: float = 2.0) -> bool:
+    def overflowed(self, headroom: float = 1.6) -> bool:
         """True when any shard's live keys exceed ``headroom``× the design
-        capacity (load → ~1.0, where eviction chains start failing)."""
+        capacity. The default 1.6 (= 0.8 slot load at the DESIGN_LOAD 0.5
+        sizing) fires BEFORE eviction chains start failing at ~0.95 load —
+        a 2.0 default would be 100% occupancy, unreachable because inserts
+        raise CuckooShardOverflow first, so a caller polling this method
+        per the resize contract would only ever see the exception path
+        (the engine's own trigger uses the same 1.6 factor)."""
         if self.capacity_per_shard <= 0:
             return False
         row = self.shards_df.agg(F.max("n_keys").alias("mx")).first()
@@ -407,31 +459,27 @@ class CuckooShardTable:
     def probe(
         self, df: DataFrame, key_col: str = "url_hash", out_col: str = "maybe_seen"
     ) -> DataFrame:
-        """Shard-local membership probe (cogroup, zero driver copies).
-        False ⇒ definitely unseen — a cuckoo filter, like Bloom, has no
-        false negatives while deletes only target inserted keys."""
-        num_shards = self.num_shards
-        out_schema = StructType(
-            df.schema.fields + [StructField(out_col, BooleanType(), False)]
-        )
+        """Shard-local membership probe (see seen.probe_sharded — one plan
+        shared with BloomShardTable). False ⇒ definitely unseen for a
+        delete-free filter. CAVEAT (inherent to deletable cuckoo filters
+        under set-semantics inserts): two distinct keys colliding on
+        (bucket pair, fingerprint) — ~n/2^16 pairs per shard — share ONE
+        stored copy, so deleting one clears the other's membership too: a
+        rare false negative whose only effect in filter_unseen is one
+        re-crawl of that URL (the engine's crawl loop never calls
+        ``deleted``; the API exists for the reference untag surface,
+        redisRequestTracker.js:47-53, pinned in test_cuckoo)."""
 
-        def probe_group(cands: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
-            out = cands.drop(columns=["_shard"])
-            if len(shard) == 0 or len(out) == 0:
-                out[out_col] = np.zeros(len(out), dtype=bool)
-                return out
-            table = np.frombuffer(bytes(shard["table_bytes"].iloc[0]), dtype=np.uint16)
+        def shard_prober(shard: pd.DataFrame):
+            table = np.frombuffer(
+                bytes(shard["table_bytes"].iloc[0]), dtype=np.uint16
+            )
             nb = int(shard["n_buckets"].iloc[0])
-            keys = out[key_col].to_numpy(dtype=np.int64)
-            out[out_col] = _probe_batch(table, keys, nb)
-            return out
+            return lambda keys: _probe_batch(table, keys, nb)
 
-        with_shard = df.withColumn(
-            "_shard",
-            F.pmod(F.col(key_col).cast("long"), F.lit(num_shards)).cast("int"),
-        )
-        return (
-            with_shard.groupBy("_shard")
-            .cogroup(self.shards_df.groupBy("shard_id"))
-            .applyInPandas(probe_group, out_schema)
+        from ghcrawler_spark.operators.seen import probe_sharded
+
+        return probe_sharded(
+            df, self.shards_df, self.num_shards, key_col, out_col,
+            shard_prober,
         )

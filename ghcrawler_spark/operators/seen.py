@@ -307,6 +307,51 @@ class BloomShardSet:
         return df.withColumn(out_col, probe_udf(F.col(key_col).cast("long")))
 
 
+PROBE_SHARD_COL = "__seen_probe_shard"
+
+
+def probe_sharded(
+    df: DataFrame,
+    shards_df: DataFrame,
+    num_shards: int,
+    key_col: str,
+    out_col: str,
+    shard_prober,
+) -> DataFrame:
+    """Shared shard-local probe plan (Bloom AND cuckoo shard tables — one
+    implementation so a fix applies to both): one hash exchange of the
+    candidates on ``pmod(key, num_shards)``, cogrouped with THAT shard's
+    row only — zero driver/broadcast copies of filter bytes. A shard with
+    no filter row probes False (definitely unseen). ``shard_prober`` maps
+    one shard's pandas row-frame to a ``keys -> bool-array`` callable."""
+    if PROBE_SHARD_COL in df.columns:
+        raise ValueError(
+            f"candidate frame already carries {PROBE_SHARD_COL!r}"
+        )
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, BooleanType(), False)]
+    )
+
+    def probe_group(cands: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+        out = cands.drop(columns=[PROBE_SHARD_COL])
+        if len(shard) == 0 or len(out) == 0:
+            out[out_col] = np.zeros(len(out), dtype=bool)
+            return out
+        probe = shard_prober(shard)
+        out[out_col] = probe(out[key_col].to_numpy(dtype=np.int64))
+        return out
+
+    with_shard = df.withColumn(
+        PROBE_SHARD_COL,
+        F.pmod(F.col(key_col).cast("long"), F.lit(num_shards)).cast("int"),
+    )
+    return (
+        with_shard.groupBy(PROBE_SHARD_COL)
+        .cogroup(shards_df.groupBy("shard_id"))
+        .applyInPandas(probe_group, out_schema)
+    )
+
+
 class BloomShardTable:
     """Executor-resident sharded Bloom set — the 10^10-key shape.
 
@@ -326,12 +371,16 @@ class BloomShardTable:
         m_bits: int,
         k_funcs: int,
         capacity_per_shard: int,
+        known_empty: bool = False,
     ):
         self.shards_df = shards_df
         self.num_shards = num_shards
         self.m_bits = m_bits
         self.k_funcs = k_funcs
         self.capacity_per_shard = capacity_per_shard
+        # set by empty(): lets filter_unseen skip the whole cogroup probe
+        # (all-False by construction) without a row-count job
+        self.known_empty = known_empty
 
     @staticmethod
     def build(
@@ -358,7 +407,7 @@ class BloomShardTable:
         m, k = optimal_params(expected_per_shard, fpr)
         return BloomShardTable(
             spark.createDataFrame([], SHARD_SCHEMA), num_shards, m, k,
-            expected_per_shard,
+            expected_per_shard, known_empty=True,
         )
 
     @staticmethod
@@ -432,35 +481,17 @@ class BloomShardTable:
     def probe(
         self, df: DataFrame, key_col: str = "url_hash", out_col: str = "maybe_seen"
     ) -> DataFrame:
-        """Shard-local membership probe: one hash exchange of the candidates
-        on the shard id, zero driver/broadcast copies of the filter bytes.
-        A shard with no filter row (nothing inserted) probes False —
-        definitely unseen."""
-        num_shards = self.num_shards
-        out_schema = StructType(
-            df.schema.fields + [StructField(out_col, BooleanType(), False)]
-        )
+        """Shard-local membership probe — see :func:`probe_sharded`."""
 
-        def probe_group(cands: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
-            out = cands.drop(columns=["_shard"])
-            if len(shard) == 0 or len(out) == 0:
-                out[out_col] = np.zeros(len(out), dtype=bool)
-                return out
+        def shard_prober(shard: pd.DataFrame):
             blob = bytes(shard["filter_bytes"].iloc[0])
             m = int(shard["m_bits"].iloc[0])
             k = int(shard["k_funcs"].iloc[0])
-            keys = out[key_col].to_numpy(dtype=np.int64)
-            out[out_col] = _probe_filter(keys, blob, m, k)
-            return out
+            return lambda keys: _probe_filter(keys, blob, m, k)
 
-        with_shard = df.withColumn(
-            "_shard",
-            F.pmod(F.col(key_col).cast("long"), F.lit(num_shards)).cast("int"),
-        )
-        return (
-            with_shard.groupBy("_shard")
-            .cogroup(self.shards_df.groupBy("shard_id"))
-            .applyInPandas(probe_group, out_schema)
+        return probe_sharded(
+            df, self.shards_df, self.num_shards, key_col, out_col,
+            shard_prober,
         )
 
 
@@ -488,7 +519,13 @@ def filter_unseen(
     forces the mode (callers that already know the batch size, e.g. the
     engine, skip the sizing count); None counts the cached suspects first.
     """
-    if bloom is None or (isinstance(bloom, BloomShardSet) and not bloom.shards):
+    if (
+        bloom is None
+        or (isinstance(bloom, BloomShardSet) and not bloom.shards)
+        # fresh shard table (Bloom or cuckoo empty()): the cogroup probe
+        # would compute all-False — skip straight to the plain anti-join
+        or getattr(bloom, "known_empty", False)
+    ):
         if confirm_broadcast:  # None = no sizing info here → shuffle path
             hits = (
                 seen_keys.select(key_col)
@@ -502,12 +539,18 @@ def filter_unseen(
         return candidates.join(
             seen_keys.select(key_col), on=key_col, how="left_anti"
         )
-    # persist: both union branches below scan the probe output — without it
-    # the candidate pipeline (and the Arrow probe) would execute twice;
-    # callers pass ``persisted`` to unpersist after materialization
-    probed = bloom.probe(candidates, key_col=key_col).persist()
+    # both union branches below scan the probe output — without caching the
+    # candidate pipeline (and the Arrow probe) would execute twice. Callers
+    # that pass ``persisted`` own the unpersist; one-shot callers get an
+    # eager localCheckpoint instead (its blocks are reclaimed with the
+    # frame, unlike a persist() nobody ever unpersists — leak-free by
+    # construction).
+    probed = bloom.probe(candidates, key_col=key_col)
     if persisted is not None:
+        probed = probed.persist()
         persisted.append(probed)
+    else:
+        probed = probed.localCheckpoint(eager=True)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     if confirm_broadcast is None:
