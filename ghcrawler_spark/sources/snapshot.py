@@ -71,13 +71,34 @@ class SnapshotStore:
         manifest = {"current": version}
         if extra:
             manifest.update(extra)
+        # the version argument is authoritative: a caller carrying a whole
+        # previous manifest forward in `extra` must not re-point the store
+        # at the OLD snapshot (resume would replay an applied round)
+        manifest["current"] = version
         blob = json.dumps(manifest)
-        with open(self._version_manifest_path(version), "w") as f:
-            f.write(blob)
+
+        def _write_synced(path: str) -> None:
+            # fsync before the rename: os.replace alone is rename-atomic
+            # but NOT durable — on power loss the journaled rename can land
+            # before the file data, leaving a truncated manifest that
+            # breaks resume (the one thing this store exists to guarantee)
+            with open(path, "w") as f:
+                f.write(blob)
+                f.flush()
+                os.fsync(f.fileno())
+
+        _write_synced(self._version_manifest_path(version))
         tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(blob)
+        _write_synced(tmp)
         os.replace(tmp, self._manifest_path())
+        try:  # directory fsync makes the rename itself durable (best
+            dfd = os.open(self.root, os.O_RDONLY)  # effort: not all FS/OS)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
 
     def _version_manifest_path(self, version: int) -> str:
         return os.path.join(self.root, f"_manifest_v{version:06d}.json")
@@ -87,6 +108,13 @@ class SnapshotStore:
             version = self.current_version()
             if version is None:
                 raise FileNotFoundError("empty snapshot store")
+        else:
+            # same orphan guard as read_manifest: a crash mid-round can
+            # leave a half-written v-dir PAST the live pointer — explicit
+            # time travel must error, not silently return partial data
+            current = self.current_version()
+            if current is None or version > current:
+                raise FileNotFoundError(f"version {version} not committed")
         return spark.read.parquet(os.path.join(self._vdir(version), name))
 
     def read_manifest(self, version: int | None = None) -> dict:
@@ -99,8 +127,16 @@ class SnapshotStore:
         current = self.current_version()
         if current is None or version > current:
             raise FileNotFoundError(f"version {version} not committed")
-        with open(self._version_manifest_path(version)) as f:
-            return json.load(f)
+        try:
+            with open(self._version_manifest_path(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            if version == current:
+                # store committed by a pre-time-travel build: the live
+                # manifest IS that version's metadata
+                with open(self._manifest_path()) as f:
+                    return json.load(f)
+            raise
 
     # -- append-only tables ---------------------------------------------------
     #
@@ -140,10 +176,23 @@ class SnapshotStore:
             upto_version = self.current_version()
             if upto_version is None:
                 raise FileNotFoundError("empty snapshot store")
+        # list the table dir once instead of stat-ing every version in the
+        # range (a 50k-round crawl reading a sparse table from v0 would
+        # otherwise issue 50k exists() calls per read); parsing the listed
+        # names is just as orphan-proof as the explicit enumeration
+        try:
+            entries = os.listdir(os.path.join(self.root, name))
+        except FileNotFoundError:
+            entries = []
+        versions = sorted(
+            int(e[len("delta_v"):])
+            for e in entries
+            if e.startswith("delta_v") and e[len("delta_v"):].isdigit()
+        )
         paths = [
             self._delta_dir(name, v)
-            for v in range(from_version, upto_version + 1)
-            if os.path.exists(self._delta_dir(name, v))
+            for v in versions
+            if from_version <= v <= upto_version
         ]
         if not paths:
             raise FileNotFoundError(f"no committed deltas for {name}")
@@ -198,20 +247,20 @@ class SnapshotStore:
             _rm(self._vdir(v))
             _rm(self._version_manifest_path(v))
             _rm(self._delta_dir("bloom", v))
-        # MOR deltas at or before their base pointer are folded into the base
-        mor = (
-            ("frontier_adds", bases.get("frontier")),
-            ("frontier_removes", bases.get("frontier")),
-            ("deadletter_adds", bases.get("deadletter")),
-            ("seen", bases.get("seen")),
-            ("host_state_adds", bases.get("host_state")),
-            ("tombstones", bases.get("tombstones")),
-        )
-        for name, bv in mor:
+        # MOR deltas at or before their base pointer are folded into the
+        # base. The registry derives from the manifest's `bases` keys (the
+        # engine owns what it bases — a hardcoded name list here silently
+        # stopped covering tables the engine grew later): a based table k
+        # may hold folded deltas under k_adds, k_removes, or its bare name
+        # (seen/tombstones write deltas under the bare name); nonexistent
+        # combinations are no-ops. History/audit logs (order_log, docs,
+        # metrics, lineage, excluded) are never in `bases`, never expired.
+        for k, bv in bases.items():
             if bv is None:
                 continue
-            for v in range(min(before_version, bv + 1)):
-                _rm(self._delta_dir(name, v))
+            for name in (f"{k}_adds", f"{k}_removes", k):
+                for v in range(min(before_version, bv + 1)):
+                    _rm(self._delta_dir(name, v))
         return removed
 
     def read_merged(
