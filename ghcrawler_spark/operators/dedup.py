@@ -144,8 +144,10 @@ def _array_signatures(
     Map-only: token array HOISTED into its own projection (higher-order
     functions are not CSE'd — inlining tokens() into the slice lambda
     re-splits the text once per shingle position, O(len²) per doc); the
-    distinct 60-bit md5-prefix hash array `hs` stands in for the shingle
-    strings (collisions negligible; same family the DuckDB oracle uses) and
+    distinct 31-bit minhash_base hash array `hs` stands in for the shingle
+    strings (the d3/d10 oracles hash their shingles with the SAME family,
+    so verify-stage parity is exact by construction — not merely
+    collision-improbable) and
     is likewise hoisted before the family transforms — the k array_min
     members each re-walk the array, so referencing the raw expression would
     re-shingle + re-hash the doc once PER MEMBER."""

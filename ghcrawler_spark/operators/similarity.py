@@ -223,7 +223,14 @@ def centroid_array(centroids: list) -> Column:
 def nearest_centroid(cent_arr: Column, vec: Column) -> Column:
     """Map-only nearest-centroid assignment: fold over the literal centroid
     array keeping the best (rounded-cosine desc, cid asc) — the
-    deterministic tie-break both Spark and the SQL oracle share."""
+    deterministic tie-break both Spark and the SQL oracle share.
+
+    Degenerate input fails LOUDLY: a zero-norm embedding (or centroid)
+    divides by zero, which under Spark's default ANSI mode raises
+    DIVIDE_BY_ZERO instead of silently mis-clustering the vector (the
+    DuckDB oracle would score it NaN and park it in the lowest cid — a
+    divergence this operator refuses to paper over). Validate/drop
+    zero-norm vectors upstream if they can occur."""
     scored = F.transform(
         cent_arr,
         lambda c: F.struct(

@@ -15,6 +15,8 @@ rank columns are cast to BIGINT on both sides.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,7 +25,11 @@ from pyspark.sql import functions as F
 from ghcrawler_spark.functions import text as T
 from ghcrawler_spark.functions import urls as U
 from ghcrawler_spark.functions import vectors as V
-from ghcrawler_spark.hashing import stable_long_hash, stable_long_hash_sql
+from ghcrawler_spark.hashing import (
+    minhash_base_sql as _mh_base_sql,
+    stable_long_hash,
+    stable_long_hash_sql,
+)
 from ghcrawler_spark.operators import dedup as D
 from ghcrawler_spark.operators import frontier_ops as FO
 from ghcrawler_spark.operators import graph as G
@@ -81,6 +87,11 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn):
+        # fail at import on a copy-paste name collision: a silent overwrite
+        # would drop a query from the driver gate while it still prints
+        # all-PASS (and drift the hand-maintained registry counts)
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
@@ -190,7 +201,7 @@ def w3_host_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH frontier AS ({FRONTIER_SQL})
     SELECT event_id, attempt,
            CASE WHEN attempt > 5 THEN 'deadletter'
-                WHEN ts + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}' THEN 'deferred'
+                WHEN coalesce(ts, TIMESTAMP '{GATE_NOW}') + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}' THEN 'deferred'
                 ELSE 'eligible' END AS gate_status
     FROM frontier
     """,
@@ -209,15 +220,7 @@ def w4_backoff_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j1_seen_antijoin",
-    f"""
-    WITH frontier AS ({FRONTIER_SQL}),
-    seen AS (
-      SELECT DISTINCT event_id FROM frontier
-      WHERE {stable_long_hash_sql('event_id')} % 5 = 0
-    )
-    SELECT f.event_id, f.tier, f.host FROM frontier f
-    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.event_id = f.event_id)
-    """,
+    None,  # oracle registered below — _j1_oracle() is shared with j9
 )
 def j1_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The seen-set confirm join (J1/J5): candidates left-anti seen keys.
@@ -233,8 +236,9 @@ def j1_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _j1_oracle() -> str:
-    """The j1 anti-join oracle, shared verbatim by the cuckoo-probe variant
-    (filter-then-confirm guarantees identical output)."""
+    """The ONE anti-join oracle both j1 and j9 validate against (a single
+    definition, so the two can never silently drift apart: j9's premise is
+    'identical output to the plain anti-join')."""
     return f"""
     WITH frontier AS ({FRONTIER_SQL}),
     seen AS (
@@ -246,15 +250,22 @@ def _j1_oracle() -> str:
     """
 
 
+_ORACLES["j1_seen_antijoin"] = _j1_oracle()
+
+
 @register("j9_cuckoo_unseen", _j1_oracle())
 def j9_cuckoo_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1's unseen filter through the CUCKOO seen set (operators/cuckoo.py —
     the deletable fingerprint-table alternative to Bloom, reference analog
     redisRequestTracker.js:17-53 incl. untag :47-53): probe-positive rows
     hit the exact anti-join confirm, so the output is IDENTICAL to the plain
-    anti-join oracle regardless of fingerprint collisions — the same
-    filter-then-confirm contract the Bloom path is pinned by. Shard-local
-    cogroup probe; candidate keys shuffle once on the shard id."""
+    anti-join oracle regardless of FINGERPRINT collisions — the same
+    filter-then-confirm contract the Bloom path is pinned by. (The exact
+    confirm keys on the 60-bit url_hash, like the whole engine: a full
+    stable_long_hash collision between two distinct ids — birthday ~2e-19·n²
+    — would alias them on BOTH sides of the crawl, a design-level key-width
+    tradeoff the filter contract does not cover.) Shard-local cogroup
+    probe; candidate keys shuffle once on the shard id."""
     from ghcrawler_spark.operators.cuckoo import CuckooShardTable
     from ghcrawler_spark.operators.seen import filter_unseen
 
@@ -482,7 +493,7 @@ def a3_queue_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated AS (
       SELECT tier,
              CASE WHEN attempt > 5 THEN 'deadletter'
-                  WHEN ts + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}' THEN 'deferred'
+                  WHEN coalesce(ts, TIMESTAMP '{GATE_NOW}') + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}' THEN 'deferred'
                   ELSE 'eligible' END AS gate_status
       FROM frontier
     )
@@ -589,7 +600,7 @@ def s7_tombstone_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x1_json_extract",
     """
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
              AS k_sum,
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY event_type
@@ -713,6 +724,25 @@ _JACCARD_PAIRS_SQL = f"""
   JOIN sizes sb ON sb.doc = i.id_b
 """
 
+# verify-twin of the ENGINE's hashed shingle sets: minhash_lsh_pairs /
+# minhash_lsh_incremental intersect 31-bit minhash_base values (dedup.py
+# _array_signatures `hs`), not raw shingle strings — hashing the oracle's
+# shingles with the SAME family makes d3/d10 parity exact BY CONSTRUCTION
+# at any scale, instead of drifting when two shingles in one document
+# collide mod 2^31-1 (~1e-6 per ~90-shingle doc: a latent gate failure at
+# large corpus sizes; the jaccard value itself shifts by ≤1e-6 vs the
+# raw-string spec). d2/d6/d7 keep the raw-string oracle — their engine
+# side (ngram_jaccard_pairs) is raw-string exact.
+_HASHED_DOC_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id AS doc, {_mh_base_sql('s.shingle')} AS shingle
+  FROM documents, unnest({_SHINGLES_SQL}) AS s(shingle)
+"""
+# same jaccard body, hashed shingle CTE swapped in (textual substitution
+# keeps the two bodies identical forever)
+_HASHED_JACCARD_PAIRS_SQL = _JACCARD_PAIRS_SQL.replace(
+    _DOC_SHINGLES_SQL, _HASHED_DOC_SHINGLES_SQL
+)
+
 
 @register(
     "d1_dedup_exact",
@@ -739,7 +769,7 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
 
 
-def _minhash_sql(num_hashes: int = D.MINHASH_FUNCS, bands: int = D.MINHASH_BANDS) -> str:
+def _minhash_sql(num_hashes: int = D.MINHASH_FUNCS) -> str:
     from ghcrawler_spark.hashing import minhash_base_sql, minhash_member_sql
 
     mins = ", ".join(
@@ -775,7 +805,7 @@ def _minhash_bands_sql(num_hashes: int = D.MINHASH_FUNCS, bands: int = D.MINHASH
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
     ),
-    exact AS ({_JACCARD_PAIRS_SQL})
+    exact AS ({_HASHED_JACCARD_PAIRS_SQL})
     SELECT c.id_a, c.id_b, e.jaccard
     FROM cand c JOIN exact e ON e.id_a = c.id_a AND e.id_b = c.id_b
     WHERE e.jaccard >= 0.5
@@ -994,7 +1024,7 @@ def t2_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated AS (
       SELECT * FROM frontier
       WHERE NOT (attempt > 5)
-        AND NOT (ts + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}')
+        AND NOT (coalesce(ts, TIMESTAMP '{GATE_NOW}') + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}')
     ),
     seen AS (SELECT DISTINCT event_id FROM frontier WHERE event_type = 'purchase'),
     unseen AS (
@@ -1330,22 +1360,31 @@ def n3_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_NLIST = 16
-_CENT_CACHE: dict = {}  # sf_dir -> nlist centroid list (immutable test data)
+_CENT_CACHE: dict = {}  # (sf_dir, table mtime) -> nlist centroid list
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
     """The nlist sampled centroids (k-means iteration 0), memoized per
-    sf_dir: the input tables are immutable, so repeat invocations (bench
-    warm+time passes; n4 and d11 sharing one index) skip the collect job."""
-    if sf_dir not in _CENT_CACHE:
+    (sf_dir, embeddings-table mtime): repeat invocations over the same
+    fixture (bench warm+time passes; n4 and d11 sharing one index) skip
+    the collect job, while a REGENERATED fixture at the same path (same-
+    process test reuse) invalidates naturally instead of silently
+    assigning against stale centroids."""
+    tbl = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = os.path.getmtime(tbl)
+    except OSError:
+        mtime = 0.0
+    key = (sf_dir, mtime)
+    if key not in _CENT_CACHE:
         emb = _t(spark, sf_dir, "embeddings")
-        _CENT_CACHE[sf_dir] = [
+        _CENT_CACHE[key] = [
             (r["vec_id"], list(r["embedding"]))
             for r in emb.filter(F.col("vec_id") < _IVF_NLIST)
             .select("vec_id", "embedding")
             .collect()
         ]
-    return _CENT_CACHE[sf_dir]
+    return _CENT_CACHE[key]
 _IVF_NPROBE = 2
 
 
@@ -2295,7 +2334,7 @@ _INCR_DELTA_REM = 9
       WHERE n.doc % {_INCR_DELTA_MOD} = {_INCR_DELTA_REM}
         AND b.doc % {_INCR_DELTA_MOD} <> {_INCR_DELTA_REM}
     ),
-    exact AS ({_JACCARD_PAIRS_SQL}),
+    exact AS ({_HASHED_JACCARD_PAIRS_SQL}),
     verified AS (
       SELECT c.new_id, c.dup_of, e.jaccard
       FROM cand c JOIN exact e
@@ -2367,7 +2406,7 @@ def n5_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH rated AS (
       SELECT doc_id, source,
-             2500 * (1 + CAST(substr(source, 4) AS BIGINT) % 4) AS keep_bp,
+             2500 * (1 + TRY_CAST(substr(source, 4) AS BIGINT) % 4) AS keep_bp,
              {stable_long_hash_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000
                AS bucket
       FROM documents)
@@ -2387,7 +2426,10 @@ def t6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rated = docs.select(
         "doc_id",
         "source",
-        (2500 * (1 + F.substring("source", 4, 10).cast("long") % 4))
+        # substring(4) to end-of-string + null-on-garbage cast: the exact
+        # twin of the oracle's substr(source, 4) / TRY_CAST (a 10-char cap
+        # here would silently diverge on long source suffixes)
+        (2500 * (1 + F.expr("substring(source, 4)").cast("long") % 4))
         .cast("long")
         .alias("keep_bp"),
         (
