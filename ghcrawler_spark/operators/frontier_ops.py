@@ -147,7 +147,15 @@ def scalable_rank_with_totals(
 ) -> tuple[DataFrame, dict]:
     """scalable_rank + the per-group row totals it already counted — callers
     that need group sizes (the closed-form rotation) get them for free
-    instead of launching another aggregation job."""
+    instead of launching another aggregation job.
+
+    CONTRACT: ``group_col`` and ``order_col`` must be NON-NULL. A null
+    order key poisons the driver-side bucket sort (None in the count-map
+    keys → TypeError) and a null group key never matches the offsets
+    equi-join (the row would silently vanish). Every engine call site
+    ranks by url/enqueue_seq after the malformed filter, where both are
+    non-null by construction; validate upstream before introducing a new
+    call site."""
     # persist: this operator drives up to three actions over its input
     # (min/max unless bounds given, bucket counts, the ranked output) —
     # without caching, an expensive upstream (politeness window over the
@@ -358,8 +366,13 @@ def trait_cap(
     bpairs = [x for t, b in budgets.items() for x in (F.lit(t), F.lit(int(b)))]
     budget_col = F.element_at(F.create_map(*bpairs), F.col("_trait"))
     out = df.withColumn("_trait", trait_col)
-    capped = out.filter(F.col("_trait").isin(*budgets))
-    uncapped = out.filter(~F.col("_trait").isin(*budgets))
+    # null-safe split: a NULL trait (null type with no mapping) must pass
+    # UNTOUCHED like any other unbudgeted trait — three-valued isin would
+    # otherwise drop the row from BOTH branches (null ∉ capped, ~null ∉
+    # uncapped), silently losing it
+    is_budgeted = F.coalesce(F.col("_trait").isin(*budgets), F.lit(False))
+    capped = out.filter(is_budgeted)
+    uncapped = out.filter(~is_budgeted)
     if salt:
         w_pre = Window.partitionBy("_trait", "_tsalt").orderBy(order_col)
         capped = (
@@ -384,24 +397,24 @@ def backoff_gate(
     now: Column,
     attempt_col: str = "attempt",
     not_before_col: str = "not_before",
-    requeue_delay_s: int = 5,
     max_attempts: int = 5,
 ) -> DataFrame:
     """Visibility + retry gating (lib/crawler.js:150-154,308-311).
 
-    Rows past max_attempts are tagged ``deadletter``; rows whose backoff
-    window (not_before, or attempt*requeue_delay) hasn't elapsed are hidden.
+    Rows past max_attempts are tagged ``deadletter``; rows whose
+    ``not_before`` wake time hasn't elapsed are hidden. A NULL
+    ``not_before`` means NO wake gate — visible immediately (AMQP
+    visibility semantics: a message without a scheduled delay is live).
+    The old fallback (now + attempt·requeue_delay) compared against the
+    SAME ``now`` and therefore reduced to ``attempt > 0`` — a retry row
+    with a null wake time was deferred FOREVER, no matter how much time
+    passed; the requeue path stamps ``not_before`` explicitly, which is
+    the only place the delay can be anchored.
     """
-    effective_gate = F.coalesce(
-        F.col(not_before_col),
-        F.timestamp_seconds(
-            F.unix_timestamp(now) + F.col(attempt_col) * requeue_delay_s
-        ),
-    )
     return df.withColumn(
         "gate_status",
         F.when(F.col(attempt_col) > max_attempts, F.lit("deadletter"))
-        .when(effective_gate > now, F.lit("deferred"))
+        .when(F.col(not_before_col) > now, F.lit("deferred"))
         .otherwise(F.lit("eligible")),
     )
 

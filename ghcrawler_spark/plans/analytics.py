@@ -201,7 +201,7 @@ def w3_host_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH frontier AS ({FRONTIER_SQL})
     SELECT event_id, attempt,
            CASE WHEN attempt > 5 THEN 'deadletter'
-                WHEN coalesce(ts, TIMESTAMP '{GATE_NOW}') + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}' THEN 'deferred'
+                WHEN ts + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}' THEN 'deferred'
                 ELSE 'eligible' END AS gate_status
     FROM frontier
     """,
@@ -493,7 +493,7 @@ def a3_queue_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated AS (
       SELECT tier,
              CASE WHEN attempt > 5 THEN 'deadletter'
-                  WHEN coalesce(ts, TIMESTAMP '{GATE_NOW}') + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}' THEN 'deferred'
+                  WHEN ts + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}' THEN 'deferred'
                   ELSE 'eligible' END AS gate_status
       FROM frontier
     )
@@ -1024,7 +1024,7 @@ def t2_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated AS (
       SELECT * FROM frontier
       WHERE NOT (attempt > 5)
-        AND NOT (coalesce(ts, TIMESTAMP '{GATE_NOW}') + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}')
+        AND NOT (ts + to_seconds(attempt * 5) > TIMESTAMP '{GATE_NOW}')
     ),
     seen AS (SELECT DISTINCT event_id FROM frontier WHERE event_type = 'purchase'),
     unseen AS (

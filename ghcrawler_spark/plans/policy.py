@@ -334,13 +334,12 @@ def fetch_source(
             p == "storageOriginIfMissing",
             F.when(stored, "storage").otherwise("origin"),
         )
-        .when(
-            p == "mutables",
-            F.when(stored & immutable, "storage")
-            .when(stored, "etag")
-            .otherwise("origin"),
-        )
-        # originStorage: immutable + stored → storage; else conditional etag
+        # originStorage AND mutables share one arm (identical decision
+        # table: immutable + stored → storage; stored → conditional etag;
+        # else origin). Intake validates policy_fetch against
+        # FETCH_POLICIES, so no OTHER value can reach this otherwise — the
+        # python twin (simulator.fetch_source) relies on that to stay
+        # branch-for-branch equal.
         .otherwise(
             F.when(stored & immutable, "storage")
             .when(stored, "etag")
@@ -372,5 +371,8 @@ def should_process(
         .when(p == "match", content_from_origin)
         .when(p == "version", version_stale)
         .when(p == "matchOrVersion", content_from_origin | version_stale)
-        .otherwise(processed_age_days > p.cast("int"))
+        # numeric-N freshness; try_cast so a value that somehow bypassed
+        # intake validation degrades to NULL (= don't reprocess) instead of
+        # an ANSI cast error killing the round
+        .otherwise(processed_age_days > p.try_cast("int"))
     )

@@ -76,6 +76,8 @@ from ghcrawler_spark.operators.cuckoo import (
     cuckoo_buckets,
 )
 from ghcrawler_spark.plans.policy import (
+    FETCH_POLICIES,
+    FRESHNESS_POLICIES,
     doc_links_col,
     event_visible_col,
     fetch_source,
@@ -937,26 +939,44 @@ class CrawlEngine:
             "map_name": ("scenario", F.lit("default")),
         }
 
-        # js-falsy precedence: the reference treats '' like absent (a falsy
-        # attribute falls through to the spec/default), and the simulator's
-        # `or`-chained twin (_resolved_request) does the same — an explicit
-        # EMPTY STRING surviving the coalesce here would make the twins pick
-        # different intra-batch dedup winners
+        # js-falsy precedence + DOMAIN validation: the reference treats ''
+        # like absent (a falsy attribute falls through to the spec/default)
+        # and unknown policy NAMES resolve to the default policy
+        # (traversalPolicy.getPolicy semantics) — so an explicit value that
+        # is empty OR outside the known domain falls through the coalesce.
+        # Without the domain check an unknown policy_fetch would reach
+        # fetch_source's otherwise-arm (≠ the simulator twin's branch), an
+        # unknown tier would get a NULL rotation weight, and a non-numeric
+        # freshness would null out should_process — three divergent
+        # garbage-in behaviors; the simulator's `or`-chained twin
+        # (_resolved_request) applies the same checks.
         def _nz(c: Column) -> Column:
             return F.nullif(c, F.lit(""))
 
+        validators = {
+            "policy_fetch": lambda c: c.isin(*FETCH_POLICIES),
+            "policy_freshness": lambda c: c.isin(*FRESHNESS_POLICIES)
+            | c.try_cast("int").isNotNull(),
+        }
         policy_cols = []
         for c, (field_, d) in defaults.items():
             parts = []
             if c in have:
-                parts.append(_nz(F.col(c)))
+                col = _nz(F.col(c))
+                v = validators.get(c)
+                if v is not None:
+                    col = F.when(v(col), col)
+                parts.append(col)
             if spec is not None:
                 parts.append(spec[field_])
             parts.append(d)
             policy_cols.append(F.coalesce(*parts).alias(c))
-        tier_parts = ([_nz(F.col("tier"))] if "tier" in have else []) + (
-            [F.lit(tier_default)] if tier_default is not None else []
-        )
+        tiers = tuple(self.cfg.tier_weights)
+        tier_parts = (
+            [F.when(_nz(F.col("tier")).isin(*tiers), F.col("tier"))]
+            if "tier" in have
+            else []
+        ) + ([F.lit(tier_default)] if tier_default is not None else [])
         tier_parts = tier_parts or [F.lit(None).cast("string")]
         return seeds.select(
             "url", "type", F.coalesce(*tier_parts).alias("tier"), *policy_cols

@@ -498,15 +498,22 @@ class ReferenceSimulator:
     def _trait(self, type_: str) -> str:
         return (self.cfg.type_traits or {}).get(type_, type_)
 
-    @staticmethod
-    def _resolved_request(s: dict, tier_default: str = "normal") -> dict:
+    def _resolved_request(self, s: dict, tier_default: str = "normal") -> dict:
         """Resolve one request spec to its effective attribute tuple —
         the ONE place intake precedence lives (explicit truthy column >
         policy SPEC > graft default; the reference treats '' like absent,
-        js-falsy). Shared by the sort key and the seed/queue loop bodies so
-        they can never drift. Raises at once on a non-string policy —
-        sorted() evaluates keys before any state mutates, so bad input
-        fails fast instead of mid-iteration."""
+        js-falsy; unknown policy/tier values fall through to the default
+        like unknown policy NAMES do in traversalPolicy.getPolicy — the
+        engine's _resolve_request_rows applies the same domain checks).
+        Shared by the sort key and the seed/queue loop bodies so they can
+        never drift. Raises at once on a non-string policy — sorted()
+        evaluates keys before any state mutates, so bad input fails fast
+        instead of mid-iteration."""
+        from ghcrawler_spark.plans.policy import (
+            FETCH_POLICIES,
+            FRESHNESS_POLICIES,
+        )
+
         if s.get("policy"):
             from ghcrawler_spark.plans.policy import resolve_policy
 
@@ -517,23 +524,40 @@ class ReferenceSimulator:
             r_fetch, r_fresh, r_scen, r_path = (
                 "originStorage", "match", "default", "/",
             )
+
+        def _intish(v) -> bool:
+            try:
+                int(v)
+                return True
+            except (TypeError, ValueError):
+                return False
+
+        tier = s.get("tier")
+        fetch = s.get("policy_fetch")
+        fresh = s.get("policy_freshness")
         return {
-            "tier": s.get("tier") or tier_default,
-            "policy_fetch": s.get("policy_fetch") or r_fetch,
-            "policy_freshness": s.get("policy_freshness") or r_fresh,
+            "tier": (tier if tier in self.cfg.tier_weights else None)
+            or tier_default,
+            "policy_fetch": (fetch if fetch in FETCH_POLICIES else None)
+            or r_fetch,
+            "policy_freshness": (
+                fresh
+                if fresh in FRESHNESS_POLICIES or _intish(fresh)
+                else None
+            )
+            or r_fresh,
             "map_path": s.get("map_path") or r_path,
             "map_name": s.get("map_name") or r_scen,
         }
 
-    @classmethod
-    def _request_sort_key(cls, s: dict, tier_default: str = "normal") -> tuple:
+    def _request_sort_key(self, s: dict, tier_default: str = "normal") -> tuple:
         """Deterministic intake order: url first, then the RESOLVED
         attribute tuple in the exact column order of the engine's
         intra-batch dedup window (round_engine._dedupe_batch_urls), so when
         a batch repeats a url both twins keep the SAME winner — the
         reference's tracked push tags on first push and bounces later
         copies (redisRequestTracker.js:21-27)."""
-        r = cls._resolved_request(s, tier_default)
+        r = self._resolved_request(s, tier_default)
         return (
             s.get("url") or "",
             s.get("type") or "",

@@ -852,3 +852,48 @@ def test_falsy_intake_attributes_align(spark, tmp_path):
     eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
     assert eng_log == sim_log
     assert eng_seen == sim_seen
+
+
+def test_unknown_intake_attributes_fall_to_defaults(spark, tmp_path):
+    """Domain validation at intake: unknown tier / policy_fetch /
+    policy_freshness values fall through to the default resolution on BOTH
+    twins (unknown policy NAMES resolve to the default policy in the
+    reference's traversalPolicy.getPolicy) — instead of an unknown tier
+    getting a NULL rotation weight (stuck row), an unknown fetch policy
+    taking fetch_source's otherwise-arm while the python twin branches
+    differently, or a non-numeric freshness nulling out should_process."""
+    seeds = [
+        {"url": f"{H}/a", "type": "page", "tier": "urgent"},     # → 'normal'
+        {"url": f"{H}/b", "type": "page", "tier": "soon",
+         "policy_fetch": "bogus", "policy_freshness": "weekly"},
+        # ^ → originStorage / match; numeric-string freshness stays valid
+        {"url": f"{H}/c", "type": "page", "policy_freshness": "7"},
+    ]
+    eng, store, sim, seeds_df = _build(
+        spark, tmp_path, {}, {}, seeds,
+        {"round_capacity": 8, "inject_failures": False},
+    )
+    eng.seed(seeds_df)
+    sim.seed(seeds)
+    eng_fr = {
+        r.url: (r.tier, r.policy_fetch, r.policy_freshness)
+        for r in eng.current_frontier().collect()
+    }
+    sim_fr = {
+        r.url: (r.tier, r.policy_fetch, r.policy_freshness)
+        for r in sim.frontier
+    }
+    assert eng_fr == sim_fr
+    assert eng_fr[f"{H}/a"][0] == "normal"
+    assert eng_fr[f"{H}/b"] == ("soon", "originStorage", "match")
+    assert eng_fr[f"{H}/c"][2] == "7"
+
+    for _ in range(10):
+        if not eng.run_round():
+            break
+    for _ in range(10):
+        if not sim.run_round():
+            break
+    eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
+    assert eng_log == sim_log
+    assert eng_seen == sim_seen
