@@ -159,6 +159,62 @@ def predicted_lang_sql(expr: str) -> str:
     return f"CASE {clauses} ELSE 'unk' END"
 
 
+def text_profile(df, id_col: str, text_col: str):
+    """The t1 frame — (id, pred_lang, quality, tok_ws, tok_bpe) — with the
+    token array HOISTED into one projection and every count computed once
+    as a column.
+
+    The composable per-column builders above re-derive ``tokens(text)``
+    inside every lambda that needs it, and higher-order functions are
+    neither codegen'd nor CSE'd, so the straightforward
+    ``select(predicted_lang(text), quality_score(text), ...)`` plan
+    tokenizes each document ~30 times (4 marker counts referenced from the
+    greatest + two when-branches each, plus the stopword/length counts).
+    This builder tokenizes ONCE and feeds plain integer attributes into
+    the identical final expressions — same values, ~10x less per-row work
+    (measured 7.6s → ~1s at sf1.0). The `_sql` oracle twins keep the
+    composable spec form."""
+    toks = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        tokens(text_col).alias("_toks"),
+    )
+    def _set_filter(values: tuple[str, ...]):
+        return lambda x: _in_set(x, values)
+
+    counts = toks.select(
+        F.col(id_col),
+        "_text",
+        F.size("_toks").alias("_ntok"),
+        F.size(F.filter("_toks", _set_filter(STOPWORDS))).alias("_nstop"),
+        *[
+            F.size(F.filter("_toks", _set_filter(markers))).alias(f"_c_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"_c_{lang}") for lang in LANG_PRIORITY])
+    pred = F.lit("unk")
+    for lang in reversed(LANG_PRIORITY):
+        c = F.col(f"_c_{lang}")
+        pred = F.when((c > 0) & (c == best), F.lit(lang)).otherwise(pred)
+    n_tok = F.col("_ntok").cast("double")
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.col("_nstop") / n_tok
+    )
+    score = (
+        0.4 * F.least(F.lit(1.0), n_tok / F.lit(50.0))
+        + 0.3 * (F.lit(1.0) - punct_ratio(F.col("_text")))
+        + 0.3 * F.least(F.lit(1.0), stop_ratio * 5.0)
+    )
+    return counts.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        F.round(score, 6).alias("quality"),
+        F.col("_ntok").cast("long").alias("tok_ws"),
+        token_count_bpe(F.col("_text")).cast("long").alias("tok_bpe"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Polynomial rolling hash over character codepoints (document
     fingerprinting for near-dup triage): fp = fold((acc*31 + ascii(ch)) % p).
@@ -212,13 +268,51 @@ def max_multiplicity(arr: Column) -> Column:
     O(d·u) per row (d = array length, u = distinct) — per-document bounded
     work that never shuffles, which is exactly the right trade at corpus
     scale vs an explode+groupBy per (doc, token). ``arr`` must be a plain
-    column reference (see shingles_from_tokens on the CSE trap)."""
+    column reference (see shingles_from_tokens on the CSE trap).
+
+    Hot callers should project ``array_sort(arr)`` and use
+    ``max_multiplicity_sorted`` instead — O(d) fold vs this O(d·u) nest."""
     return F.array_max(
         F.transform(
             F.array_distinct(arr),
             lambda x: F.size(F.filter(arr, lambda y: y == x)),
         )
     )
+
+
+def max_multiplicity_sorted(sorted_arr: Column) -> Column:
+    """``max_multiplicity`` over an ALREADY-SORTED, ALREADY-PROJECTED array
+    attribute: equal elements are adjacent after the sort, so one
+    run-length fold finds the mode's count in O(d) — vs the O(d·u)
+    distinct×filter nest, all through interpreted lambdas (measured ~6x of
+    t5's wall at sf1.0 before this).
+
+    ``sorted_arr`` MUST be a plain column reference to a projected
+    ``array_sort(...)`` column: the fold indexes back into it per element
+    (element_at is O(1) on an attribute; an inline expression would be
+    re-evaluated per element — the usual non-CSE lambda trap). Same
+    integer for any input, so the oracle's O(d·u) spec form and this are
+    interchangeable. Empty arrays yield NULL, matching max_multiplicity."""
+    run_col = lambda acc, x: (  # noqa: E731 — shared by run/best fields
+        F.when(
+            (acc["i"] > 0) & (F.element_at(sorted_arr, acc["i"]) == x),
+            acc["run"] + 1,
+        ).otherwise(F.lit(1))
+    )
+    folded = F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(0).alias("i"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["i"] + 1).alias("i"),
+            run_col(acc, x).alias("run"),
+            F.greatest(acc["best"], run_col(acc, x)).alias("best"),
+        ),
+    )["best"]
+    return F.when(F.size(sorted_arr) > 0, folded)
 
 
 def max_multiplicity_sql(arr: str) -> str:

@@ -514,34 +514,44 @@ def connected_components(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc, simhash): per-bit majority vote over distinct-token hashes.
 
-    bit_i(doc) = 1 iff sum over tokens of (+1 if token_hash has bit i else -1) > 0.
-    Explodes (doc × bit) — linear in corpus size, shuffles once on doc.
-    """
-    tok = (
-        df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
-        .distinct()
-        .withColumn("th", stable_long_hash(F.col("tok")))
-    )
-    per_bit = (
-        tok.select(
+    bit_i(doc) = 1 iff sum over tokens of (+1 if token_hash has bit i else -1) > 0,
+    i.e. iff 2·|{hashes with bit i set}| > |distinct tokens|.
+
+    Map-only (round 6): the old shape exploded (doc × bit × token) rows —
+    ~bits× the corpus through two aggregation exchanges — to compute what
+    is a per-document bounded fold. Here the distinct-token-hash ARRAY is
+    hoisted into its own projection (array_distinct + one md5 transform per
+    doc), and the signature is a sum of ``bits`` set-bit counts over that
+    attribute: zero Exchange, same integers as the explode shape (votes
+    s = 2·cnt_set − u, s > 0 ⟺ 2·cnt_set > u), so the oracle — which keeps
+    the explode spec form — is unaffected. Docs with no tokens drop out,
+    exactly as they dropped out of the explode."""
+    ths = (
+        df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(
             "doc",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-            "th",
+            F.transform(
+                F.array_distinct("_t"), lambda x: stable_long_hash(x)
+            ).alias("_th"),
         )
-        .withColumn(
-            "vote",
-            F.when(F.expr("(th >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        .groupBy("doc", "bit")
-        .agg(F.sum("vote").alias("s"))
     )
-    return per_bit.groupBy("doc").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    u = F.size("_th")
+
+    def _bit_set(mask: int):
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    bit_terms = [
+        F.when(
+            F.size(F.filter("_th", _bit_set(1 << bit))) * 2 > u,
+            F.lit(1 << bit).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for bit in range(bits)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return ths.select("doc", total.alias("simhash"))
 
 
 def simhash_pairs(

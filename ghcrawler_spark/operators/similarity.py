@@ -20,7 +20,11 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ghcrawler_spark.functions.vectors import (
@@ -31,6 +35,238 @@ from ghcrawler_spark.functions.vectors import (
     norm,
     sign_bucket,
 )
+
+# ---------------------------------------------------------------------------
+# Vectorized pair scoring (guide §4.2): the quadratic pair generators below
+# (near-dup sweep, k-NN join, SemDeDup prune) used to evaluate the
+# dot/norm Column folds PER PAIR — Catalyst higher-order functions are
+# interpreted per element, so a bucket of B vectors costs ~B²·dim
+# interpreted ops (measured ~100x wall growth for 10x rows at sf1.0).
+# The kernels here compute the same per-bucket pair scores in numpy with
+# BIT-IDENTICAL float semantics, then emit only a conservatively
+# pre-filtered candidate set; the FINAL round/threshold/window still runs
+# in the JVM on the exact raw doubles, so query results are unchanged.
+#
+# Bit-exactness: the JVM fold is
+#     aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +)
+# i.e. a strict left-to-right sum of doubles. `_fold_dot_block` performs the
+# identical IEEE-754 operations in the identical order (one fused
+# vector-of-pairs step per dimension index), so the resulting double — and
+# the norm fold in `_fold_norms`, and the final dot/(na*nb) divide — are
+# bit-equal to what the previous JVM expression produced for every pair.
+# ---------------------------------------------------------------------------
+
+# slack around the 4-dp rounding displacement (<5.1e-5) — candidates whose
+# raw score is within this margin of a threshold/cutoff are always emitted,
+# so the JVM-side exact round+filter can never lose a qualifying pair
+_ROUND_MARGIN = 2e-4
+# hash-blocks per bucket: each bucket's pair matrix is split into
+# B(B+1)/2 independent cells so the quadratic work spreads over the
+# cluster instead of one task per bucket (guide §2.5: deterministic
+# synthetic key, never rand())
+_PAIR_BLOCKS = 4
+# bound on elements per temporary pair-score matrix (~32 MB of doubles)
+_PAIR_CHUNK_ELEMS = 1 << 22
+
+
+def _stack_f64(series: pd.Series) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list<float> column — float32 →
+    float64 widening is exact, matching the JVM's cast-before-multiply."""
+    return np.stack(
+        [np.asarray(x, dtype=np.float32) for x in series.to_numpy()]
+    ).astype(np.float64)
+
+
+def _fold_norms(V: np.ndarray) -> np.ndarray:
+    """sqrt of the left-to-right fold of squares — bit-equal to norm()."""
+    acc = np.zeros(V.shape[0])
+    for i in range(V.shape[1]):
+        acc += V[:, i] * V[:, i]
+    return np.sqrt(acc)
+
+
+def _fold_dot_block(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(nA, nB) pairwise dot matrix via the same left-to-right fold the JVM
+    expression uses (NOT matmul — BLAS reassociates the sum)."""
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for i in range(A.shape[1]):
+        acc += A[:, i, None] * B[None, :, i]
+    return acc
+
+
+def _pair_cell_frame(base: DataFrame, blocks: int = _PAIR_BLOCKS) -> DataFrame:
+    """Replicate each row into its pair-cells: row with hash-block b joins
+    cell (min(b,c), max(b,c)) for every block c, so each unordered block
+    pair lands in exactly one cell and every within-bucket pair is produced
+    exactly once across cells. Deterministic key (xxhash64), retry-safe."""
+    return (
+        base.withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col("id")), F.lit(blocks)).cast("int")
+        )
+        .withColumn("_oth", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))))
+        .withColumn("_ci", F.least("_blk", "_oth"))
+        .withColumn("_cj", F.greatest("_blk", "_oth"))
+        .drop("_oth")
+    )
+
+
+def _cell_matrices(pdf: pd.DataFrame):
+    """Split one pair-cell's rows into the (A, B) sides. Returns
+    (ids_a, Va, na, ids_b, Vb, nb, same) or None when no pair exists."""
+    if len(pdf) < 2:
+        return None
+    ci = int(pdf["_ci"].iloc[0])
+    cj = int(pdf["_cj"].iloc[0])
+    if ci == cj:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        V = _stack_f64(pdf["v"])
+        nrm = _fold_norms(V)
+        return ids, V, nrm, ids, V, nrm, True
+    a_mask = pdf["_blk"].to_numpy() == ci
+    pa, pb = pdf[a_mask], pdf[~a_mask]
+    if len(pa) == 0 or len(pb) == 0:
+        return None
+    ids_a = pa["id"].to_numpy(dtype=np.int64)
+    ids_b = pb["id"].to_numpy(dtype=np.int64)
+    Va, Vb = _stack_f64(pa["v"]), _stack_f64(pb["v"])
+    return ids_a, Va, _fold_norms(Va), ids_b, Vb, _fold_norms(Vb), False
+
+
+def _make_assign_scores_fn(cent_sorted: list):
+    """mapInPandas kernel: raw cosine of every row against every centroid
+    (ordered by cid asc), via the fold-exact matrix ops — the JVM argmax
+    fold over (round(score), cid) structs then assigns the cluster."""
+
+    def fn(batches):
+        C = np.stack(
+            [np.asarray(v, dtype=np.float32) for _, v in cent_sorted]
+        ).astype(np.float64)
+        cn = _fold_norms(C)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _stack_f64(pdf["_v"])
+            vn = _fold_norms(V)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = _fold_dot_block(V, C)
+                S /= vn[:, None] * cn[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "_v": pdf["_v"].to_numpy(),
+                    "_scores": list(S),
+                }
+            )
+
+    return fn
+
+
+def _make_threshold_pair_fn(threshold: float):
+    """applyInPandas kernel: emit (id_a < id_b, raw) for every pair whose
+    raw cosine could still round to >= threshold (margin-conservative; NaN
+    kept so the JVM filter decides exactly like the old plan did)."""
+    cut = threshold - _ROUND_MARGIN
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "raw": pd.Series(dtype="float64")})
+        mats = _cell_matrices(pdf)
+        if mats is None:
+            return empty
+        ids_a, Va, na, ids_b, Vb, nb, same = mats
+        out_a, out_b, out_raw = [], [], []
+        step = max(1, _PAIR_CHUNK_ELEMS // max(1, len(ids_b)))
+        for s in range(0, len(ids_a), step):
+            e = min(s + step, len(ids_a))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = _fold_dot_block(Va[s:e], Vb)
+                S /= na[s:e, None] * nb[None, :]
+            keep = (S >= cut) | np.isnan(S)
+            # pair orientation is id order; within one block only i<j
+            lo = ids_a[s:e, None] < ids_b[None, :]
+            keep &= lo | ((~lo) & (ids_a[s:e, None] != ids_b[None, :]))
+            if same:
+                keep &= lo
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                ai, bj = ids_a[s + ii], ids_b[jj]
+                out_a.append(np.minimum(ai, bj))
+                out_b.append(np.maximum(ai, bj))
+                out_raw.append(S[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "raw": np.concatenate(out_raw),
+            }
+        )
+
+    return fn
+
+
+def _topk_emit(ids_q, S, ids_c, k, self_mask=None):
+    """Per-query candidate emission for one direction of a pair cell: keep
+    every candidate whose raw score is within _ROUND_MARGIN of the cell's
+    k-th best (NaN kept — the JVM window owns NaN ordering semantics)."""
+    rank = np.where(np.isnan(S), np.inf, S)
+    if self_mask is not None:
+        rank = np.where(self_mask, -np.inf, rank)
+    nc = rank.shape[1]
+    if nc > k:
+        kth = -np.partition(-rank, k - 1, axis=1)[:, k - 1]
+        cutoff = kth - _ROUND_MARGIN
+    else:
+        cutoff = np.full(rank.shape[0], -np.inf)
+    keep = rank >= cutoff[:, None]
+    if self_mask is not None:
+        keep &= ~self_mask
+    ii, jj = np.nonzero(keep)
+    return ids_q[ii], ids_c[jj], S[ii, jj]
+
+
+def _make_topk_pair_fn(k: int):
+    """applyInPandas kernel for the k-NN join: per query id in the cell,
+    emit its plausible top-k candidates (margin keeps every pair the exact
+    rounded ordering could select); the JVM window does the exact ranking."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                              "vec_id": pd.Series(dtype="int64"),
+                              "raw": pd.Series(dtype="float64")})
+        mats = _cell_matrices(pdf)
+        if mats is None:
+            return empty
+        ids_a, Va, na, ids_b, Vb, nb, same = mats
+        out_q, out_c, out_raw = [], [], []
+        step = max(1, _PAIR_CHUNK_ELEMS // max(1, len(ids_b)))
+        for s in range(0, len(ids_a), step):
+            e = min(s + step, len(ids_a))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = _fold_dot_block(Va[s:e], Vb)
+                S /= na[s:e, None] * nb[None, :]
+            self_mask = (
+                (ids_a[s:e, None] == ids_b[None, :]) if same else None
+            )
+            q, c, r = _topk_emit(ids_a[s:e], S, ids_b, k, self_mask)
+            out_q.append(q); out_c.append(c); out_raw.append(r)
+            if not same:
+                # reverse direction: block-j rows querying block-i rows
+                q, c, r = _topk_emit(ids_b, S[:, :].T, ids_a[s:e], k)
+                out_q.append(q); out_c.append(c); out_raw.append(r)
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_c),
+                "raw": np.concatenate(out_raw),
+            }
+        )
+
+    return fn
 
 
 def ann_bruteforce(
@@ -111,37 +347,36 @@ def embedding_near_dup_pairs(
     ``bucketed=True`` adds the sign-bucket equality predicate — at scale the
     cross-join becomes a per-bucket join (each bucket ~N/16), the standard
     blocking trick for embedding near-dup sweeps.
+
+    Pair scoring runs in the vectorized numpy kernel (bit-identical fold
+    order — see module header): each bucket is split into hash-block pair
+    cells, every cell streams through applyInPandas emitting only
+    margin-conservative candidates, and the exact round+threshold runs in
+    the JVM — so the output is identical to the old per-pair Column fold,
+    at BLAS-adjacent speed instead of interpreted-HOF-per-pair speed.
     """
-    # Precompute each row's norm ONCE before the pair join: the per-pair work
-    # drops to a single dot fold (~3x). Exact-parity-safe: a norm fold over
-    # the same array yields the identical double wherever it's evaluated.
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm"),
     )
     if bucketed:
         base = base.withColumn("bucket", sign_bucket(F.col("v")))
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if bucketed:
-        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+        keys = ["bucket", "_ci", "_cj"]
+        blocks = _PAIR_BLOCKS
+    else:
+        # all-pairs sweep: no bucket key — more cells so the single "bucket"
+        # still spreads over the cluster
+        keys = ["_ci", "_cj"]
+        blocks = 2 * _PAIR_BLOCKS
+    cells = _pair_cell_frame(base, blocks)
+    cand = cells.groupBy(*keys).applyInPandas(
+        _make_threshold_pair_fn(threshold),
+        "id_a long, id_b long, raw double",
+    )
     return (
-        a.join(b, cond)
-        .withColumn(
-            "score",
-            F.round(
-                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
-                COSINE_ROUND,
-            ),
-        )
+        cand.withColumn("score", F.round(F.col("raw"), COSINE_ROUND))
         .filter(F.col("score") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("score").alias("score"),
-        )
+        .select("id_a", "id_b", "score")
     )
 
 
@@ -159,25 +394,24 @@ def knn_join(
     (similar-document mining, hard-negative sampling). Blocking by sign
     bucket turns the quadratic self-join into per-bucket joins (~N/16 rows
     each); the ranking window partitions by the query vector, so no global
-    sort exists anywhere. Output: (qid, vec_id, score, rnk)."""
+    sort exists anywhere. Output: (qid, vec_id, score, rnk).
+
+    Pair scoring runs in the vectorized numpy kernel (bit-identical fold
+    order — module header): per pair cell, each query keeps only candidates
+    within _ROUND_MARGIN of its cell-local k-th best raw score (a superset
+    of the exact rounded top-k by construction); the exact round + ranking
+    window then run in the JVM over this small candidate set."""
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm"),
         sign_bucket(F.col(vec_col)).alias("bucket"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    scored = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")))
-        .select(
-            F.col("a.id").alias("qid"),
-            F.col("b.id").alias("vec_id"),
-            F.round(
-                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
-                COSINE_ROUND,
-            ).alias("score"),
-        )
+    cells = _pair_cell_frame(base)
+    cand = cells.groupBy("bucket", "_ci", "_cj").applyInPandas(
+        _make_topk_pair_fn(k), "qid long, vec_id long, raw double"
+    )
+    scored = cand.select(
+        "qid", "vec_id", F.round(F.col("raw"), COSINE_ROUND).alias("score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
@@ -197,7 +431,14 @@ def centroid_array(centroids: list) -> Column:
     nlist×dim of them put SECONDS of driver latency into plan construction
     before a single task runs. Python float repr round-trips exactly, and
     CAST(<repr> AS FLOAT) lands on the identical float32, so values are
-    bit-equal to the old form (and to the DuckDB oracle's)."""
+    bit-equal to the old form (and to the DuckDB oracle's).
+
+    Each struct also carries ``cvn`` — the centroid's norm precomputed
+    driver-side with the exact same left-to-right double fold the norm()
+    Column performs (Python floats ARE IEEE doubles, math.sqrt is correctly
+    rounded like Math.sqrt), so per-row folds no longer re-derive every
+    centroid norm per vector (guide §2.3: don't compute what you can hoist).
+    """
     def _f32(x) -> str:
         x = float(x)
         # repr(nan)/repr(inf) are not SQL literals (they'd parse as column
@@ -211,31 +452,59 @@ def centroid_array(centroids: list) -> Column:
             return "CAST('-Infinity' AS FLOAT)"
         return f"CAST({x!r} AS FLOAT)"
 
+    def _f64(x: float) -> str:
+        if x != x:
+            return "CAST('NaN' AS DOUBLE)"
+        if x == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if x == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"CAST({x!r} AS DOUBLE)"
+
     parts = []
     for cid, vec in centroids:
         arr = ", ".join(_f32(x) for x in vec)
         parts.append(
-            f"named_struct('cid', {int(cid)}, 'cv', array({arr}))"
+            f"named_struct('cid', {int(cid)}, 'cv', array({arr}), "
+            f"'cvn', {_f64(_py_norm(vec))})"
         )
     return F.expr("array(" + ", ".join(parts) + ")")
 
 
-def nearest_centroid(cent_arr: Column, vec: Column) -> Column:
+def _py_norm(vec) -> float:
+    """Driver-side twin of the norm() fold: float32-quantize each element
+    (centroid literals are CAST(... AS FLOAT)), then the identical
+    left-to-right double square-sum + sqrt."""
+    acc = 0.0
+    for x in vec:
+        d = float(np.float32(x))
+        acc += d * d
+    return math.sqrt(acc)
+
+
+def nearest_centroid(
+    cent_arr: Column, vec: Column, vec_norm: Column | None = None
+) -> Column:
     """Map-only nearest-centroid assignment: fold over the literal centroid
     array keeping the best (rounded-cosine desc, cid asc) — the
     deterministic tie-break both Spark and the SQL oracle share.
 
-    Degenerate input fails LOUDLY: a zero-norm embedding (or centroid)
-    divides by zero, which under Spark's default ANSI mode raises
-    DIVIDE_BY_ZERO instead of silently mis-clustering the vector (the
-    DuckDB oracle would score it NaN and park it in the lowest cid — a
-    divergence this operator refuses to paper over). Validate/drop
-    zero-norm vectors upstream if they can occur."""
+    Pass ``vec_norm`` as a PROJECTED column to evaluate the vector's norm
+    fold once per row instead of once per centroid (higher-order lambdas
+    are re-evaluated per element and never CSE'd); centroid norms come
+    precomputed from the ``cvn`` literal (centroid_array). Both hoists are
+    bit-exact — the same fold yields the same double wherever it runs.
+
+    Degenerate input (zero-norm embedding or centroid) scores NaN via the
+    double division; NaN loses every fold comparison, so such a vector
+    keeps the fold seed. Validate/drop zero-norm vectors upstream if they
+    can occur."""
+    vn = vec_norm if vec_norm is not None else norm(vec)
     scored = F.transform(
         cent_arr,
         lambda c: F.struct(
             F.round(
-                dot(vec, c["cv"]) / (norm(vec) * norm(c["cv"])),
+                dot(vec, c["cv"]) / (vn * c["cvn"]),
                 COSINE_ROUND,
             ).alias("s"),
             c["cid"].alias("cid"),
@@ -273,37 +542,56 @@ def semantic_dedup(
 
     At 10^10 rows the quadratic term is bounded by the largest cluster —
     real deployments size nlist so clusters hold ~10^4-10^5 vectors, and the
-    equi-join's per-cluster work stays in one task's memory."""
-    cent_arr = centroid_array(centroids)
-    a = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_v"),
-        nearest_centroid(cent_arr, F.col(vec_col)).alias("cid"),
+    equi-join's per-cluster work stays in one task's memory.
+
+    Execution shape (round 6): the nearest-centroid scores are computed in
+    a shuffle-free mapInPandas pass (one fold-exact numpy matrix op per
+    Arrow batch instead of nlist interpreted dot folds per row); the JVM
+    picks the argmax over the (rounded score, cid) structs with the same
+    tie-break fold as before. The within-cluster prune runs through the
+    vectorized threshold kernel per (cid, pair-cell) group, and the exact
+    round + eps filter stays in the JVM — results are bit-identical to the
+    old per-pair Column-fold plan."""
+    cent_sorted = sorted(
+        ((int(c), [float(x) for x in v]) for c, v in centroids),
+        key=lambda t: t[0],
     )
-    # cut the lineage: the nlist×dim literal centroid array is a ~10^3-node
-    # expression tree and `a` appears three times below — without the cut
-    # Catalyst re-analyzes the tree per occurrence (seconds of DRIVER time
-    # dwarfing the sub-second execution), and the fold itself would
-    # recompute per branch. One eager materialization fixes both.
+    cid_arr = F.expr(
+        "array(" + ", ".join(str(c) for c, _ in cent_sorted) + ")"
+    )
+    scored_df = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(
+        _make_assign_scores_fn(cent_sorted),
+        "vec_id long, _v array<float>, _scores array<double>",
+    )
+    best = F.aggregate(
+        F.zip_with(
+            cid_arr,
+            F.col("_scores"),
+            lambda c, s: F.struct(
+                F.round(s, COSINE_ROUND).alias("s"), c.alias("cid")
+            ),
+        ),
+        F.struct(F.lit(-2.0).alias("s"), F.lit(-1).alias("cid")),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
+    )["cid"]
+    a = scored_df.select("vec_id", "_v", best.alias("cid"))
+    # cut the lineage: `a` feeds both the pair prune and the final join —
+    # one eager materialization keeps the assignment pass single-shot.
     a = a.localCheckpoint(eager=True)
-    lhs = a.select(
-        F.col("vec_id").alias("_id_hi"), F.col("_v").alias("_v_hi"), "cid"
+    cells = _pair_cell_frame(
+        a.select(F.col("vec_id").alias("id"), F.col("_v").alias("v"), "cid")
     )
-    rhs = a.select(
-        F.col("vec_id").alias("_id_lo"), F.col("_v").alias("_v_lo"), "cid"
+    cand = cells.groupBy("cid", "_ci", "_cj").applyInPandas(
+        _make_threshold_pair_fn(eps), "id_a long, id_b long, raw double"
     )
     dropped = (
-        lhs.join(rhs, "cid")
-        .filter(F.col("_id_lo") < F.col("_id_hi"))
-        .filter(
-            F.round(
-                dot(F.col("_v_hi"), F.col("_v_lo"))
-                / (norm(F.col("_v_hi")) * norm(F.col("_v_lo"))),
-                COSINE_ROUND,
-            )
-            >= eps
-        )
-        .select(F.col("_id_hi").alias("vec_id"))
+        cand.filter(F.round(F.col("raw"), COSINE_ROUND) >= eps)
+        .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
     return (
@@ -343,18 +631,28 @@ def ann_ivf(
     on the smaller cid, keeping Spark and the SQL oracle deterministic.
     """
     cent_arr = centroid_array(centroids)
-    _nearest = lambda vc: nearest_centroid(cent_arr, vc)  # noqa: E731
 
+    # norm folds hoisted into their own projection (once per row, not once
+    # per centroid — lambda bodies are re-evaluated per element); centroid
+    # norms come from the precomputed cvn literal. Bit-exact either way.
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_vn"),
-        _nearest(F.col(vec_col)).alias("cid"),
+    ).select(
+        "vec_id",
+        "_v",
+        "_vn",
+        nearest_centroid(cent_arr, F.col("_v"), F.col("_vn")).alias("cid"),
     )
     probes = queries.select(
         F.col(query_id_col).alias("qid"),
         F.col(query_vec_col).alias("_q"),
         norm(F.col(query_vec_col)).alias("_qn"),
+    ).select(
+        "qid",
+        "_q",
+        "_qn",
         F.explode(
             F.slice(
                 F.array_sort(
@@ -362,8 +660,8 @@ def ann_ivf(
                         cent_arr,
                         lambda cc: F.struct(
                             (-F.round(
-                                dot(F.col(query_vec_col), cc["cv"])
-                                / (norm(F.col(query_vec_col)) * norm(cc["cv"])),
+                                dot(F.col("_q"), cc["cv"])
+                                / (F.col("_qn") * cc["cvn"]),
                                 COSINE_ROUND,
                             )).alias("negs"),
                             cc["cid"].alias("cid"),

@@ -51,7 +51,31 @@ DENY_RE = "(slow|error)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_scan(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _normalize_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor (guide §2.5 input skew: one unsplittable
+    input → repartition immediately after the read).
+
+    The deterministic fixture tables are single-row-group parquet files, so
+    the scan yields 1 effective partition and every map-only plan (the
+    whole text/dedup family) runs on ONE core no matter the cluster size.
+    When — and only when — the scan has fewer partitions than the session's
+    parallelism, round-robin the rows across the cores once, right above
+    the scan. Self-tuning, not a local[32] constant: at real corpus scale
+    a table has orders of magnitude more row groups than cores, the branch
+    never fires, and the plan is byte-identical to before (no Exchange).
+    Results are partitioning-agnostic (no query depends on row placement),
+    so this is timing-only."""
+    try:
+        n = df.rdd.getNumPartitions()
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    if n < cores:
+        return df.repartition(cores)
+    return df
 
 
 def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,14 +1015,10 @@ def n2_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t1_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hoisted-token plan (text.text_profile): tokenize once per doc instead
+    # of once per lambda reference (~30x per row before) — same values
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.predicted_lang("text").alias("pred_lang"),
-        T.quality_score("text").alias("quality"),
-        T.token_count_ws("text").cast("long").alias("tok_ws"),
-        T.token_count_bpe("text").cast("long").alias("tok_bpe"),
-    )
+    return T.text_profile(docs, "doc_id", "text")
 
 
 @register(
@@ -2152,11 +2172,21 @@ def t5_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: stable_long_hash(s),
         ).alias("g2"),
     )
+    # the mode counts run over PRE-SORTED projected arrays so the run-length
+    # fold replaces the O(d·u) distinct×filter nest (same integers; ~6x of
+    # this query's wall before)
+    g = g.select(
+        "doc_id",
+        "t",
+        "g2",
+        F.array_sort("t").alias("_ts"),
+        F.array_sort("g2").alias("_gs"),
+    )
     n2 = F.size("g2")
     m = g.select(
         "doc_id",
         F.round(
-            T.max_multiplicity(F.col("t")) / F.size("t").cast("double"), 6
+            T.max_multiplicity_sorted(F.col("_ts")) / F.size("t").cast("double"), 6
         ).alias("top_tok_ratio"),
         F.when(n2 == 0, F.lit(0.0))
         .otherwise(
@@ -2167,7 +2197,7 @@ def t5_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dup_2gram_frac"),
         F.when(n2 == 0, F.lit(0.0))
         .otherwise(
-            F.round(T.max_multiplicity(F.col("g2")) / n2.cast("double"), 6)
+            F.round(T.max_multiplicity_sorted(F.col("_gs")) / n2.cast("double"), 6)
         )
         .alias("top_2gram_frac"),
     )

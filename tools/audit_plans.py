@@ -334,27 +334,30 @@ def main() -> int:
                    "base corpus side must never build a shuffle of its text"))
     p = explain_str(qs["n5_knn_join"](spark, SF))
     plans["n5_knn_join"] = p
-    checks.append(("n5 knn join is a bucket equi-join (no cartesian product)",
-                   "CartesianProduct" not in p and any(
-                       j in p for j in
-                       ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")),
-                   "expect an equi-join on bucket"))
+    checks.append(("n5 knn join: per-(bucket, pair-cell) grouped kernel, no cartesian",
+                   "CartesianProduct" not in p
+                   and "FlatMapGroupsInPandas" in p
+                   and "bucket" in p,
+                   "expect a bucket/pair-cell grouped pandas kernel "
+                   "(round-6 shape); all-pairs join is the failure"))
 
-    # d11 semdedup: the epsilon-ball prune must stay a per-cluster EQUI-JOIN
-    # on cid (SemDeDup's whole point — the clustering bounds the quadratic
-    # term); a CartesianProduct here would mean the all-pairs cosine the
-    # operator exists to avoid. The nearest-centroid assignment is an eager
-    # localCheckpoint inside the operator, so the audited plan is the
-    # downstream join shape (checkpoint scans ⋈ cid), which is exactly the
-    # part whose scale discipline matters.
+    # d11 semdedup: the epsilon-ball prune must stay bounded PER CLUSTER
+    # (SemDeDup's whole point — the clustering bounds the quadratic term); a
+    # CartesianProduct here would mean the all-pairs cosine the operator
+    # exists to avoid. Round-6 shape: the prune is a grouped pandas kernel
+    # keyed on (cid, pair-cell) — the exchange is a hash partitioning on
+    # cid, never an unkeyed cross join — and the kept-flag attach stays an
+    # equi-join on vec_id.
     p = explain_str(qs["d11_semdedup"](spark, SF))
     plans["d11_semdedup"] = p
-    checks.append(("d11 semdedup prune is a per-cluster equi-join on cid (no cartesian)",
+    checks.append(("d11 semdedup prune is per-cluster (grouped kernel on cid, no cartesian)",
                    "CartesianProduct" not in p
                    and "cid" in p
+                   and "FlatMapGroupsInPandas" in p
                    and any(j in p for j in
                            ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")),
-                   "expect an equi-join keyed on cid; all-pairs cosine is the failure"))
+                   "expect a cid-keyed grouped kernel + vec_id equi-join; "
+                   "all-pairs cosine is the failure"))
 
     # g1: fixed-point pagerank — every iteration must be an equi-join +
     # aggregate; the only nested-loop joins allowed are the 1-row
