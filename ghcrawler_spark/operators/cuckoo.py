@@ -163,6 +163,39 @@ def _insert_batch(table: np.ndarray, keys: np.ndarray, nb: int) -> tuple[int, in
             first_of_bucket = np.ones(len(cb_sorted), dtype=bool)
             first_of_bucket[1:] = cb_sorted[1:] != cb_sorted[:-1]
             chosen = cand[order[first_of_bucket]]
+            # intra-pass duplicate guard (ADVICE r5): if two DISTINCT keys
+            # shared a fingerprint with overlapping-but-unequal bucket
+            # pairs, the pass-start presence test would let both land in
+            # one pass — two stored copies where the sequential loop stores
+            # one, and placed_n counting twice (n_keys drift → early
+            # resizes). Under the CURRENT derivation this is unreachable:
+            # b2 = b1 XOR h(fp) is an involution, so same-fp pairs are
+            # either identical (collapsed by the (lo, hi, fp) dedup above)
+            # or fully disjoint. The guard stays as defense-in-depth for
+            # any future bucket-derivation change: replay the pass's
+            # winners in key order and defer any whose fingerprint an
+            # earlier winner just placed into one of THEIR home buckets —
+            # the next pass's presence re-check then drops them, exactly
+            # like the sequential per-key walk.
+            cf = fps[chosen]
+            fp_u, fp_n = np.unique(cf, return_counts=True)
+            if (fp_n > 1).any():
+                dup_set = set(fp_u[fp_n > 1].tolist())
+                keep_mask = np.ones(len(chosen), dtype=bool)
+                placed_at: dict[int, set] = {}
+                for pos in np.argsort(chosen):
+                    k = int(chosen[pos])
+                    f = int(fps[k])
+                    if f not in dup_set:
+                        continue
+                    prev = placed_at.get(f)
+                    if prev is not None and (
+                        int(b1s[k]) in prev or int(b2s[k]) in prev
+                    ):
+                        keep_mask[pos] = False
+                        continue
+                    placed_at.setdefault(f, set()).add(int(bucket_arr[k]))
+                chosen = chosen[keep_mask]
             view[bucket_arr[chosen], s] = fps[chosen]
             placed_n += len(chosen)
             remaining = remaining[

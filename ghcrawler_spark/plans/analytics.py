@@ -2456,10 +2456,11 @@ def t6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rated = docs.select(
         "doc_id",
         "source",
-        # substring(4) to end-of-string + null-on-garbage cast: the exact
-        # twin of the oracle's substr(source, 4) / TRY_CAST (a 10-char cap
-        # here would silently diverge on long source suffixes)
-        (2500 * (1 + F.expr("substring(source, 4)").cast("long") % 4))
+        # substring(4) to end-of-string + try_cast: the exact twin of the
+        # oracle's substr(source, 4) / TRY_CAST — null on garbage in BOTH
+        # engines (a plain cast raises CAST_INVALID_INPUT under PySpark
+        # 4.x ANSI where the oracle would drop the row; ADVICE r5)
+        (2500 * (1 + F.expr("substring(source, 4)").try_cast("long") % 4))
         .cast("long")
         .alias("keep_bp"),
         (

@@ -978,8 +978,26 @@ class CrawlEngine:
             else []
         ) + ([F.lit(tier_default)] if tier_default is not None else [])
         tier_parts = tier_parts or [F.lit(None).cast("string")]
+        # the RAW tier survives alongside the validated one: malformed rows
+        # deadletter with the value the caller sent — the simulator twin
+        # records `s.get('tier') or ''` (seed) / `s.get('tier') or tier`
+        # (queue_requests), i.e. js-falsy fallback to the batch default but
+        # NO domain validation — while the enqueue branch uses the
+        # validated/defaulted tier. Domain validation must not rewrite
+        # forensics (ADVICE r5: validating before the malformed split made
+        # the deadletter row disagree with the simulator).
+        raw_fallback = F.lit(tier_default if tier_default is not None else "")
+        raw_tier = (
+            F.coalesce(_nz(F.col("tier")), raw_fallback)
+            if "tier" in have
+            else raw_fallback
+        )
         return seeds.select(
-            "url", "type", F.coalesce(*tier_parts).alias("tier"), *policy_cols
+            "url",
+            "type",
+            F.coalesce(*tier_parts).alias("tier"),
+            raw_tier.alias("_tier_raw"),
+            *policy_cols,
         )
 
     def seed(self, seeds: DataFrame) -> None:
@@ -1042,7 +1060,7 @@ class CrawlEngine:
                 "deadletter": malformed.select(
                     F.coalesce(F.col("url"), F.lit("")).alias("url"),
                     F.coalesce(F.col("type"), F.lit("")).alias("type"),
-                    F.coalesce(F.col("tier"), F.lit("")).alias("tier"),
+                    F.col("_tier_raw").alias("tier"),
                     F.lit(0).alias("round"),
                     F.lit(0).cast("int").alias("attempt"),
                     F.lit("malformed").alias("reason"),
@@ -2635,7 +2653,7 @@ class CrawlEngine:
                 malformed.select(
                     F.coalesce(F.col("url"), F.lit("")).alias("url"),
                     F.coalesce(F.col("type"), F.lit("")).alias("type"),
-                    F.coalesce(F.col("tier"), F.lit("")).alias("tier"),
+                    F.col("_tier_raw").alias("tier"),
                     F.lit(rnd).alias("round"),
                     F.lit(0).cast("int").alias("attempt"),
                     F.lit("malformed").alias("reason"),

@@ -202,3 +202,26 @@ def test_shard_overflow_raises_typed_error(spark):
     assert "over capacity" in str(ei.value)
     # the typed error exists for direct (non-Spark-wrapped) callers
     assert issubclass(CuckooShardOverflow, ValueError)
+
+
+def test_insert_batch_placed_is_exact_slot_delta_under_dense_fp_collisions():
+    """`placed` must equal the exact number of new fingerprints written
+    (the live-count contract n_keys depends on), even at high load where
+    many keys share fingerprints within one slot-phase pass and eviction
+    chains relocate entries (relocations don't change the count)."""
+    import numpy as np
+
+    from ghcrawler_spark.operators.cuckoo import SLOTS, _insert_batch
+
+    rng = np.random.RandomState(42)
+    nb = 64  # tiny table -> dense fingerprint collisions
+    table = np.zeros(nb * SLOTS, dtype=np.uint16)
+    keys = rng.randint(0, 2**63 - 1, size=180, dtype=np.int64)
+    failed, placed = _insert_batch(table, keys, nb)
+    assert failed == 0
+    assert placed == np.count_nonzero(table)
+    # re-inserting the same batch is a strict no-op (set semantics)
+    before = table.copy()
+    failed2, placed2 = _insert_batch(table, keys, nb)
+    assert (failed2, placed2) == (0, 0)
+    assert np.array_equal(table, before)

@@ -897,3 +897,50 @@ def test_unknown_intake_attributes_fall_to_defaults(spark, tmp_path):
     eng_log, sim_log, eng_seen, sim_seen = _logs(spark, store, sim)
     assert eng_log == sim_log
     assert eng_seen == sim_seen
+
+
+def test_malformed_out_of_domain_tier_deadletters_raw_value(spark, tmp_path):
+    """ADVICE r5: tier domain validation must not rewrite the deadletter's
+    forensics — a malformed request with an out-of-domain tier records the
+    RAW value the caller sent (simulator: s.get('tier') or batch default),
+    not '' / the validated default, through BOTH intake funnels."""
+    seeds = [
+        {"url": f"{H}/a", "type": "page"},
+        {"url": None, "type": "page", "tier": "weird"},  # malformed + bad tier
+    ]
+    eng, store, sim, seeds_df = _build(
+        spark, tmp_path, {}, {}, seeds,
+        {"round_capacity": 2, "bucket_capacity": 8, "bucket_fill": 8,
+         "inject_failures": False},
+    )
+    # seeds_df via _build coerces missing tier to 'normal'; build a frame
+    # that carries the raw values verbatim instead
+    raw_df = spark.createDataFrame(
+        [(s.get("url"), s.get("type"), s.get("tier")) for s in seeds],
+        "url string, type string, tier string",
+    )
+    eng.seed(raw_df)
+    sim.seed(seeds)
+    dls = {(r["url"], r["tier"], r["reason"])
+           for r in eng.current_deadletter().collect()}
+    assert dls == {(d["url"], d["tier"], d["reason"]) for d in sim.deadletter}
+    assert ("", "weird", "malformed") in dls
+
+    # admin funnel: falsy tier falls back to the batch default, out-of-domain
+    # stays raw — engine == simulator either way
+    batch = [
+        {"url": None, "type": "image", "tier": "bogus"},
+        {"url": "not-a-url", "type": "page"},
+    ]
+    req_df = spark.createDataFrame(
+        [(b.get("url"), b.get("type"), b.get("tier")) for b in batch],
+        "url string, type string, tier string",
+    )
+    eng_counts = eng.queue_requests(req_df, tier="later")
+    sim_counts = sim.queue_requests(batch, tier="later")
+    assert eng_counts == sim_counts
+    dls = {(r["url"], r["tier"], r["reason"])
+           for r in eng.current_deadletter().collect()}
+    assert dls == {(d["url"], d["tier"], d["reason"]) for d in sim.deadletter}
+    assert ("", "bogus", "malformed") in dls
+    assert ("not-a-url", "later", "malformed") in dls
