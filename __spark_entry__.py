@@ -3,7 +3,7 @@
 entry(spark)  — flagship crawl-round candidate selection on sf0.001.
 queries()     — one entry per implemented operator from SURVEY.md §2
                 (plus the training-data pipeline family), implemented in
-                ghcrawler_spark/plans/analytics.py. 58 entries.
+                ghcrawler_spark/plans/analytics.py. 59 entries.
 oracle_sql()  — DuckDB-equivalent SQL for each query (exact value parity;
                 see analytics.py float discipline notes). All entries except
                 v1_image_validation (binary pipeline → rows-only check).

@@ -62,19 +62,24 @@ def _normalize_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     the scan yields 1 effective partition and every map-only plan (the
     whole text/dedup family) runs on ONE core no matter the cluster size.
     When — and only when — the scan has fewer partitions than the session's
-    parallelism, round-robin the rows across the cores once, right above
-    the scan. Self-tuning, not a local[32] constant: at real corpus scale
-    a table has orders of magnitude more row groups than cores, the branch
-    never fires, and the plan is byte-identical to before (no Exchange).
-    Results are partitioning-agnostic (no query depends on row placement),
-    so this is timing-only."""
+    parallelism, hash-repartition the rows across the cores once, right
+    above the scan, keyed by xxhash64 of the whole row: deterministic under
+    task retries (guide §2.5 — never rand-derived) WITHOUT round-robin's
+    sortBeforeRepartition local sort, which would serialize on the single
+    scan partition. Self-tuning, not a local[32] constant: at real corpus
+    scale a table has orders of magnitude more row groups than cores, the
+    branch never fires, and the plan is byte-identical to before (no
+    Exchange). Results are partitioning-agnostic (no query depends on row
+    placement), so this is timing-only."""
     try:
         n = df.rdd.getNumPartitions()
         cores = spark.sparkContext.defaultParallelism
     except Exception:
         return df
     if n < cores:
-        return df.repartition(cores)
+        return df.repartition(
+            cores, F.xxhash64(*[F.col(c) for c in df.columns])
+        )
     return df
 
 
@@ -1796,7 +1801,14 @@ def m2_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse (header fields, plane offsets, frame boundaries) is exact."""
     from ghcrawler_spark.functions import media as M
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    # raw read, no scan normalization: this lane is FIXED at 120 docs by
+    # spec at every sf, so spreading the scan over the cluster just buys
+    # two extra exchanges and per-task Python round-trips (measured +1.5s
+    # at sf0.1); the 120-row synth+decode runs fine on the scan's own
+    # partitioning
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
     params = docs.select(
         "doc_id",
         (16 + 8 * (F.col("doc_id") % 4)).cast("long").alias("w"),
