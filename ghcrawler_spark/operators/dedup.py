@@ -432,7 +432,22 @@ def minhash_lsh_incremental(
         # like minhash_lsh_pairs' persisted path (without a handle a lazy
         # caller that executes the frame could never release the two caches)
         return out
-    out = out.localCheckpoint(eager=True)
+    # same one-shot materialization discipline as minhash_lsh_pairs: every
+    # shuffle in this plan is KB-scale (band keys + candidate ids), so AQE's
+    # one-scheduled-job-per-query-stage latency outweighs its re-planning;
+    # session conf restored before returning (single-threaded callers only —
+    # concurrent pipelines use the `persisted` path, which never touches
+    # session conf).
+    spark = base.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     sig_d.unpersist()
     cand.unpersist()
     return out
