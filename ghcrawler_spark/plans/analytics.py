@@ -63,23 +63,24 @@ def _normalize_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     whole text/dedup family) runs on ONE core no matter the cluster size.
     When — and only when — the scan has fewer partitions than the session's
     parallelism, hash-repartition the rows across the cores once, right
-    above the scan, keyed by xxhash64 of the whole row: deterministic under
-    task retries (guide §2.5 — never rand-derived) WITHOUT round-robin's
-    sortBeforeRepartition local sort, which would serialize on the single
-    scan partition. Self-tuning, not a local[32] constant: at real corpus
-    scale a table has orders of magnitude more row groups than cores, the
-    branch never fires, and the plan is byte-identical to before (no
-    Exchange). Results are partitioning-agnostic (no query depends on row
-    placement), so this is timing-only."""
+    above the scan, keyed by xxhash64 of the table's FIRST column (the key
+    column in every fixture table): deterministic under task retries (guide
+    §2.5 — never rand-derived) WITHOUT round-robin's sortBeforeRepartition
+    local sort, which would serialize on the single scan partition, and
+    without referencing the other columns — so column pruning still reaches
+    the scan (hashing the whole row would force every column through the
+    exchange; guide §6). Self-tuning, not a local[32] constant: at real
+    corpus scale a table has orders of magnitude more row groups than
+    cores, the branch never fires, and the plan is byte-identical to before
+    (no Exchange). Results are partitioning-agnostic (no query depends on
+    row placement), so this is timing-only."""
     try:
         n = df.rdd.getNumPartitions()
         cores = spark.sparkContext.defaultParallelism
     except Exception:
         return df
     if n < cores:
-        return df.repartition(
-            cores, F.xxhash64(*[F.col(c) for c in df.columns])
-        )
+        return df.repartition(cores, F.xxhash64(F.col(df.columns[0])))
     return df
 
 

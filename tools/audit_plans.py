@@ -69,15 +69,47 @@ def main() -> int:
     checks.append(("2-column projection prunes the lineitem scan to 2 columns",
                    bool(pruned), f"ReadSchema: {m.group(1) if m else 'missing'}"))
 
-    # 4+5. map-only: canonicalize+hash must have no Exchange and be codegen'd
-    p = explain_str(qs["f8_url_canonicalize"](spark, SF))
-    plans["f8_url_canonicalize"] = p
-    checks.append(("f8 canonicalize+hash is shuffle-free", "Exchange" not in p, ""))
-    checks.append(("f8 runs inside whole-stage codegen",
-                   "codegen id" in p, "formatted explain labels stages with [codegen id : N]"))
-    p = explain_str(qs["t2_fingerprint"](spark, SF))
-    plans["t2_fingerprint"] = p
-    checks.append(("t2 fingerprint is shuffle-free", "Exchange" not in p, ""))
+    # Round 6: fixture scans are single-row-group files, so analytics._t
+    # floors scan parallelism with ONE hash repartition keyed on
+    # xxhash64(<first column>) when — and only when — the scan has fewer
+    # partitions than the session parallelism (at real scale the branch
+    # never fires). "map-only"/"shuffle-free" asserts therefore mean: every
+    # Exchange in the plan IS that scan normalizer, and there is at most
+    # one of them.
+    import re as _re0
+
+    def _exchange_blocks(plan: str) -> list[str]:
+        out = []
+        for m in _re0.finditer(r"\n\(\d+\) Exchange\n", plan):
+            nxt = plan.find("\n(", m.end())
+            out.append(plan[m.start(): nxt if nxt != -1 else len(plan)])
+        return out
+
+    def _is_normalizer(block: str) -> bool:
+        return "hashpartitioning(xxhash64(" in block
+
+    def only_scan_normalizer(plan: str) -> bool:
+        ex = _exchange_blocks(plan)
+        return len(ex) <= 1 and all(_is_normalizer(b) for b in ex)
+
+    # 4+5. map-only: canonicalize+hash must have no shuffle beyond the scan
+    # normalizer and be codegen'd (explain with AQE off for the codegen
+    # labels — AdaptiveSparkPlan's pre-execution formatted output omits
+    # codegen ids; audit-only toggle, restored immediately)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = explain_str(qs["f8_url_canonicalize"](spark, SF))
+        plans["f8_url_canonicalize"] = p
+        checks.append(("f8 canonicalize+hash is shuffle-free beyond the scan normalizer",
+                       only_scan_normalizer(p), ""))
+        checks.append(("f8 runs inside whole-stage codegen",
+                       "codegen id" in p, "formatted explain labels stages with [codegen id : N]"))
+        p = explain_str(qs["t2_fingerprint"](spark, SF))
+        plans["t2_fingerprint"] = p
+        checks.append(("t2 fingerprint is shuffle-free beyond the scan normalizer",
+                       only_scan_normalizer(p), ""))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     # 3b. j1 anti-join shape
     p = explain_str(qs["j1_seen_antijoin"](spark, SF))
@@ -276,8 +308,14 @@ def main() -> int:
     import re as _re
 
     def exchange_carries(plan: str, col: str) -> bool:
+        # the single scan-normalization exchange (hashpartitioning on
+        # xxhash64 of the key column, round 6) is exempt: it repartitions
+        # the raw scan rows once; the asserts below pin that no LATER
+        # exchange carries the heavy column
         for m in _re.finditer(r"\(\d+\) (?:Exchange|BroadcastExchange)", plan):
             block = plan[m.start() : plan.find("\n(", m.start() + 2)]
+            if "hashpartitioning(xxhash64(" in block:
+                continue
             if col in block:
                 return True
         return False
@@ -303,7 +341,8 @@ def main() -> int:
                "v3_image_quality_gate"):
         p = explain_str(qs[cq](spark, SF))
         plans[cq] = p
-        checks.append((f"{cq} is map-only (no Exchange)", "Exchange" not in p, ""))
+        checks.append((f"{cq} is map-only beyond the scan normalizer",
+                       only_scan_normalizer(p), ""))
     p = explain_str(qs["d9_decontaminate"](spark, SF))
     plans["d9_decontaminate"] = p
     checks.append(("d9 broadcasts the benchmark shingle set",
