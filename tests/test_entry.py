@@ -74,3 +74,29 @@ def test_query_oracle_parity(spark, oracle_con, name):
     assert sorted(sdf.columns) == sorted(odf.columns)
     a, b = _norm(sdf), _norm(odf)
     assert a.equals(b), f"{name}: value mismatch"
+
+
+# FULL-registry gate (VERDICT r5 task 1, second half): the driver's
+# correctness artifact caps at 50 rows in registration order, so queries
+# registered past the window would otherwise only ever be checked by
+# ad-hoc tools/check_parity.py runs. This parametrization covers every
+# registered query at sf0.001 on every pytest run — slower than
+# FAST_SUBSET (which stays as the quick smoke) but bounded: sf0.001 is
+# ~6k rows/table and the Spark fixture is session-scoped.
+_ALL_QUERIES = sorted(set(entrymod.queries()) - set(FAST_SUBSET))
+
+
+@pytest.mark.parametrize("name", _ALL_QUERIES)
+def test_full_registry_oracle_parity(spark, oracle_con, name):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    sdf = qs[name](spark, SF).toPandas()
+    if name in ORACLE_EXEMPT:
+        # driver records the rows-only check for these (binary pipeline):
+        # the query must run and return a well-formed frame
+        assert len(sdf) >= 0
+        return
+    odf = oracle_con.execute(oracles[name]).df()
+    assert len(sdf) == len(odf), f"{name}: rowcount {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), f"{name}: columns"
+    a, b = _norm(sdf), _norm(odf)
+    assert a.equals(b), f"{name}: value mismatch"
